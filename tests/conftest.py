@@ -1,0 +1,37 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+The environment's axon sitecustomize forces ``jax_platforms="axon,cpu"`` (the
+tunneled TPU) on every interpreter start, so the JAX_PLATFORMS env var alone
+is not enough — we must override the config after import, before any backend
+initializes. conftest.py is imported before any test module, so this is the
+place.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+CORNELL_SDL = os.path.join(REFERENCE_DIR, "objs", "cornellroom.sdl")
+
+
+@pytest.fixture(scope="session")
+def cornell_sdl() -> str:
+    return CORNELL_SDL
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from pathtracerpython_tpu.scene import load_scene
+
+    return load_scene(CORNELL_SDL)
