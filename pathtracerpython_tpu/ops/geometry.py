@@ -122,6 +122,7 @@ def nearest_hit(
     scene: SceneArrays,
     mode: str = "fast",
     tile: int = 128,
+    backend: str = "xla",
 ) -> NearestHit:
     """Closest-hit sweep of [N] rays against the whole padded tri buffer.
 
@@ -132,6 +133,13 @@ def nearest_hit(
     ordering key is squared distance in reference mode (backward hits
     count) vs. forward ``t`` in fast mode.
     """
+    if backend == "pallas" and mode == "fast":
+        from pathtracerpython_tpu.kernels.intersect_pallas import (
+            nearest_hit_pallas,
+        )
+
+        return nearest_hit_pallas(origin, direction, scene)
+
     n = origin.shape[0]
     T = scene.tri_v0.shape[0]
     tile = min(tile, T)
@@ -192,6 +200,7 @@ def any_hit_within(
     scene: SceneArrays,
     mode: str = "fast",
     tile: int = 128,
+    backend: str = "xla",
 ) -> jax.Array:
     """Shadow-occlusion sweep: is any *occluder* triangle strictly between
     the origin and ``max_dist`` along (normalized) ``direction``?
@@ -205,6 +214,13 @@ def any_hit_within(
     ``max_dist``: the euclidean origin→light distance, [N].
     Returns occluded bool[N].
     """
+    if backend == "pallas" and mode == "fast":
+        from pathtracerpython_tpu.kernels.intersect_pallas import (
+            any_hit_pallas,
+        )
+
+        return any_hit_pallas(origin, direction, max_dist, scene)
+
     T = scene.tri_v0.shape[0]
     tile = min(tile, T)
     d_unit = safe_normalize(direction)

@@ -1,0 +1,34 @@
+"""Render configuration — the runtime knobs the reference spreads across its
+CLI (``main.py:125-139``, ``-r``/``-b``) and hardcoded defaults
+(``n_light_samples=3`` at ``main.py:23``), as one hashable static dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static configuration for the wavefront integrator.
+
+    mode:
+      - ``"fast"`` (default): Möller–Trumbore, correct tangent frames,
+        clamped cosines, uniform triangle sampling, no emission double
+        counting — the differentiable production path.
+      - ``"reference"``: reproduces the reference estimator exactly
+        (SURVEY.md §2.4 quirks 1-8) for the radiance-allclose gate.
+    """
+
+    mode: str = "fast"
+    n_samples: int = 1        # rays per pixel (the reference CLI's -r)
+    n_bounces: int = 1        # bounces      (the reference CLI's -b)
+    n_light_samples: int = 3  # NEE samples  (main.py:23 default arg)
+    tile: int = 128           # triangle-tile width for intersection sweeps
+    backend: str = "xla"      # "xla" | "pallas" nearest/any-hit sweeps
+    remat_bounces: bool = False  # jax.checkpoint each bounce (for deep grads)
+
+    def __post_init__(self):
+        assert self.mode in ("fast", "reference"), self.mode
+        assert self.backend in ("xla", "pallas"), self.backend
+        assert self.n_samples >= 1 and self.n_bounces >= 1

@@ -203,7 +203,9 @@ def pack_scene(
             npaths=desc.npaths,
         ),
     )
-    return scene
+    # device arrays, not numpy: eager ops (e.g. gather-by-tracer inside a
+    # scan) require jax arrays even outside jit
+    return jax.tree_util.tree_map(jnp.asarray, scene)
 
 
 def load_scene(path: str, pad_to: int = 128, dtype=np.float32) -> SceneArrays:
