@@ -123,6 +123,8 @@ def nearest_hit(
     mode: str = "fast",
     tile: int = 128,
     backend: str = "xla",
+    geom_axis: str | None = None,
+    geom_axis_size: int = 0,
 ) -> NearestHit:
     """Closest-hit sweep of [N] rays against the whole padded tri buffer.
 
@@ -133,6 +135,14 @@ def nearest_hit(
     ordering key is squared distance in reference mode (backward hits
     count) vs. forward ``t`` in fast mode.
     """
+    if geom_axis is not None:
+        from pathtracerpython_tpu.parallel.ring import nearest_hit_ring
+
+        return nearest_hit_ring(
+            origin, direction, scene, mode, tile, backend,
+            axis_name=geom_axis, axis_size=geom_axis_size,
+        )
+
     if backend == "pallas" and mode == "fast":
         from pathtracerpython_tpu.kernels.intersect_pallas import (
             nearest_hit_pallas,
@@ -201,6 +211,8 @@ def any_hit_within(
     mode: str = "fast",
     tile: int = 128,
     backend: str = "xla",
+    geom_axis: str | None = None,
+    geom_axis_size: int = 0,
 ) -> jax.Array:
     """Shadow-occlusion sweep: is any *occluder* triangle strictly between
     the origin and ``max_dist`` along (normalized) ``direction``?
@@ -214,6 +226,14 @@ def any_hit_within(
     ``max_dist``: the euclidean origin→light distance, [N].
     Returns occluded bool[N].
     """
+    if geom_axis is not None:
+        from pathtracerpython_tpu.parallel.ring import any_hit_ring
+
+        return any_hit_ring(
+            origin, direction, max_dist, scene, mode, tile, backend,
+            axis_name=geom_axis, axis_size=geom_axis_size,
+        )
+
     if backend == "pallas" and mode == "fast":
         from pathtracerpython_tpu.kernels.intersect_pallas import (
             any_hit_pallas,

@@ -27,8 +27,16 @@ class RenderConfig:
     tile: int = 128           # triangle-tile width for intersection sweeps
     backend: str = "xla"      # "xla" | "pallas" nearest/any-hit sweeps
     remat_bounces: bool = False  # jax.checkpoint each bounce (for deep grads)
+    # Geometry-ring sharding (parallel/ring.py): when geom_axis names a mesh
+    # axis the integrator is running under (via shard_map), the per-triangle
+    # buffers are shard-local and intersection sweeps ppermute them around
+    # the ring. geom_axis_size must match the mesh axis size (it has to be
+    # static — ppermute permutations are compile-time).
+    geom_axis: str | None = None
+    geom_axis_size: int = 0
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
         assert self.backend in ("xla", "pallas"), self.backend
         assert self.n_samples >= 1 and self.n_bounces >= 1
+        assert (self.geom_axis is None) == (self.geom_axis_size == 0)

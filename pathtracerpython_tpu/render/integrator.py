@@ -133,6 +133,8 @@ def shade_nee(
         mode=cfg.mode,
         tile=cfg.tile,
         backend=cfg.backend,
+        geom_axis=cfg.geom_axis,
+        geom_axis_size=cfg.geom_axis_size,
     ).reshape(n, s)
 
     cos = jnp.sum(sdir * normal[:, None, :], axis=-1)  # [N, S] unclamped
@@ -229,7 +231,8 @@ def bounce_step(
     """One wavefront bounce: intersect → shade → scatter, fully masked."""
     hit = nearest_hit(
         state.origin, state.direction, scene, mode=cfg.mode, tile=cfg.tile,
-        backend=cfg.backend,
+        backend=cfg.backend, geom_axis=cfg.geom_axis,
+        geom_axis_size=cfg.geom_axis_size,
     )
 
     kb = _vm_fold(state.key, bounce_idx)

@@ -56,15 +56,23 @@ class SceneMeta:
                      self.n_light_triangles, self.path))
 
 
+# Pytree leaf fields, in flattening order. TRI_FIELDS are the per-triangle
+# buffers — the set sharded along the geometry mesh axis in ring mode
+# (parallel/ring.py); everything else is replicated.
+TRI_FIELDS = (
+    "tri_v0", "tri_v1", "tri_v2", "tri_normal", "tri_area",
+    "tri_material", "tri_valid", "tri_occluder", "tri_is_light",
+)
+DATA_FIELDS = TRI_FIELDS + (
+    "mat_rgb", "mat_ka", "mat_kd", "mat_ks", "mat_kt", "mat_n",
+    "light_v0", "light_v1", "light_v2", "light_area", "light_color",
+    "ambient", "eye", "ortho", "background",
+)
+
+
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=[
-        "tri_v0", "tri_v1", "tri_v2", "tri_normal", "tri_area",
-        "tri_material", "tri_valid", "tri_occluder", "tri_is_light",
-        "mat_rgb", "mat_ka", "mat_kd", "mat_ks", "mat_kt", "mat_n",
-        "light_v0", "light_v1", "light_v2", "light_area", "light_color",
-        "ambient", "eye", "ortho", "background",
-    ],
+    data_fields=list(DATA_FIELDS),
     meta_fields=["meta"],
 )
 @dataclasses.dataclass(frozen=True)
