@@ -1,0 +1,156 @@
+"""Inverse rendering: differentiate the wavefront integrator w.r.t. scene
+parameters and fit them to target images.
+
+Parameters are expressed as a dict of SceneArrays field overrides (a plain
+pytree, so it drops straight into ``jax.grad`` and optax). Supported:
+
+- material fields (``mat_rgb``, ``mat_ka``, ``mat_kd``, ``mat_ks``,
+  ``mat_n``) — "free" gradients through the shading math;
+- emission (``light_color``, ``ambient``);
+- vertex buffers (``tri_v0/1/2``, ``light_v0/1/2``) — interior gradients
+  through hit distance, shading point, and (via ``recompute_derived``)
+  normals and areas. Visibility discontinuities are handled by the
+  detached-sampling discipline of the integrator (discrete choices — hit
+  selection, BRDF branch, light-triangle pick — do not carry gradients);
+  boundary/edge terms are future work (SURVEY.md §7 step 4).
+
+Gradient flow notes (what makes the integrator differentiable):
+- nearest-hit sweeps select a winner by ``argmin`` (non-differentiable
+  index) but recompute ``point = origin + t·d`` from the *winning* ``t``,
+  which does carry d(t)/d(vertices) through the Möller–Trumbore solve;
+- RNG is counter-based and fixed given (seed, pixel, sample, bounce), so a
+  loss is a deterministic function of parameters — central finite
+  differences with the same seed are a valid oracle (the BASELINE gate).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pathtracerpython_tpu.ops.camera import make_primary_rays
+from pathtracerpython_tpu.render.config import RenderConfig
+from pathtracerpython_tpu.render.integrator import render_rays
+from pathtracerpython_tpu.scene.arrays import SceneArrays, recompute_derived
+
+# Fields that may appear in a params dict.
+MATERIAL_FIELDS = ("mat_rgb", "mat_ka", "mat_kd", "mat_ks", "mat_kt", "mat_n")
+EMISSION_FIELDS = ("light_color", "ambient")
+VERTEX_FIELDS = (
+    "tri_v0", "tri_v1", "tri_v2", "light_v0", "light_v1", "light_v2",
+)
+PARAM_FIELDS = MATERIAL_FIELDS + EMISSION_FIELDS + VERTEX_FIELDS + ("eye",)
+
+
+def apply_params(scene: SceneArrays, params: dict) -> SceneArrays:
+    """Overlay a params dict onto the scene; rederive normals/areas when
+    vertices moved so their gradients flow too."""
+    unknown = set(params) - set(PARAM_FIELDS)
+    if unknown:
+        raise ValueError(f"unknown scene parameters: {sorted(unknown)}")
+    scene = dataclasses.replace(scene, **params)
+    if any(f in params for f in VERTEX_FIELDS):
+        scene = recompute_derived(scene)
+    return scene
+
+
+def make_render_fn(
+    cfg: RenderConfig,
+    mesh=None,
+    dp_axis="dp",
+    geom_axis: str | None = None,
+) -> Callable:
+    """A renderer ``(origins, dirs, pixel_ids, scene, key) -> radiance``:
+    single-device, or sharded over ``mesh`` when one is given."""
+    if mesh is None:
+        return lambda o, d, p, sc, key: render_rays(o, d, p, sc, cfg, key)
+
+    from pathtracerpython_tpu.parallel.shard import render_rays_sharded
+
+    return lambda o, d, p, sc, key: render_rays_sharded(
+        o, d, p, sc, cfg, key, mesh, dp_axis=dp_axis, geom_axis=geom_axis
+    )
+
+
+def pixel_loss(
+    params: dict,
+    base_scene: SceneArrays,
+    target: jax.Array,
+    render_fn: Callable,
+    origins: jax.Array,
+    directions: jax.Array,
+    pixel_ids: jax.Array,
+    key: jax.Array,
+) -> jax.Array:
+    """0.5 · mean squared pixel error of the parameterized render vs target."""
+    scene = apply_params(base_scene, params)
+    radiance = render_fn(origins, directions, pixel_ids, scene, key)
+    return 0.5 * jnp.mean((radiance - target) ** 2)
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    base_scene: SceneArrays,
+    cfg: RenderConfig,
+    target: jax.Array,
+    mesh=None,
+    dp_axis="dp",
+    geom_axis: str | None = None,
+):
+    """Build a jitted full training step for the scene's camera view:
+
+        params, opt_state, key -> (params, opt_state, loss)
+
+    value_and_grad through the (possibly shard_map'ed) renderer; on a mesh,
+    parameter gradients are all-reduced by the shard_map transpose (psum
+    over the ray axes) — no hand-written collectives.
+    """
+    w, h = base_scene.meta.width, base_scene.meta.height
+    origins, dirs = make_primary_rays(base_scene.eye, base_scene.ortho, w, h)
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    render_fn = make_render_fn(cfg, mesh, dp_axis, geom_axis)
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(pixel_loss)(
+            params, base_scene, target, render_fn,
+            origins, dirs, pixel_ids, key,
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def fit(
+    params: dict,
+    optimizer: optax.GradientTransformation,
+    base_scene: SceneArrays,
+    cfg: RenderConfig,
+    target: jax.Array,
+    steps: int,
+    seed: int = 0,
+    mesh=None,
+    dp_axis="dp",
+    geom_axis: str | None = None,
+    callback=None,
+):
+    """Run ``steps`` optimizer iterations; returns (params, losses list)."""
+    step_fn = make_train_step(
+        optimizer, base_scene, cfg, target, mesh, dp_axis, geom_axis
+    )
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step_fn(params, opt_state, sub)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, params, losses[-1])
+    return params, losses

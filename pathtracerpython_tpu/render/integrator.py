@@ -122,7 +122,10 @@ def shade_nee(
     )  # [N, S, 3]
 
     vec = light_pt - point[:, None, :]
-    dist = jnp.linalg.norm(vec, axis=-1)  # [N, S]
+    # sqrt(x + tiny), not linalg.norm: lanes shading ON the light (terminated
+    # next bounce, masked by is_light) can have |vec| ≈ 0, where norm's
+    # gradient is NaN — and NaN · masked-zero cotangent is still NaN.
+    dist = jnp.sqrt(jnp.sum(vec * vec, axis=-1) + 1e-24)  # [N, S]
     sdir = safe_normalize(vec)
 
     occluded = any_hit_within(

@@ -64,6 +64,24 @@ class ObjMesh:
         return tri[:, 0], tri[:, 1], tri[:, 2]
 
 
+def mesh_from_arrays(vertices, faces, path: str = "") -> ObjMesh:
+    """Build an ObjMesh from raw vertex/face arrays (synthetic scenes,
+    tests, procedural geometry) with the same derived normals/areas the
+    parser computes."""
+    verts = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    face_arr = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
+    tri = verts[face_arr]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    cross = np.cross(e1, e2)
+    norm = np.linalg.norm(cross, axis=-1, keepdims=True)
+    normals = cross / np.where(norm == 0.0, 1.0, norm)
+    areas = norm[:, 0] / 2.0
+    return ObjMesh(
+        vertices=verts, faces=face_arr, normals=normals, areas=areas, path=path
+    )
+
+
 def _triangulate(face: list[int]) -> list[tuple[int, int, int]]:
     if len(face) > 3:
         return [(face[0], face[i], face[i + 1]) for i in range(1, len(face) - 1)]

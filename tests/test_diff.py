@@ -1,0 +1,195 @@
+"""Gradient correctness: autodiff through the integrator vs central finite
+differences (the BASELINE gate: "pixel-grad allclose vs finite diff").
+
+RNG is counter-based and fixed given the seed, so the loss is a
+deterministic function of parameters and FD with a shared seed is a valid
+oracle. Tests run in fast mode (the differentiable path); visibility
+discontinuities are avoided by construction (see the synthetic scene).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracerpython_tpu.diff import (
+    apply_params,
+    fit,
+    make_render_fn,
+    make_train_step,
+    pixel_loss,
+)
+from pathtracerpython_tpu.render.config import RenderConfig
+from pathtracerpython_tpu.scene.arrays import pack_scene
+from pathtracerpython_tpu.scene.obj import mesh_from_arrays
+from pathtracerpython_tpu.scene.sdl import SceneDescription, SdlObject
+
+import optax
+
+
+def make_flat_scene():
+    """One big diffuse floor triangle + one light triangle above it.
+
+    No occluders and no silhouette edges near the test rays, so the
+    radiance is a smooth function of every parameter we perturb.
+    """
+    floor = mesh_from_arrays(
+        [[-5.0, -1.0, 1.0], [5.0, -1.0, 1.0], [0.0, -1.0, -9.0]],
+        [[0, 1, 2]],
+    )
+    light = mesh_from_arrays(
+        [[-0.5, 1.5, -2.5], [0.5, 1.5, -2.5], [0.0, 1.5, -1.5]],
+        [[0, 1, 2]],
+    )
+    desc = SceneDescription(
+        eye=(0.0, 0.0, 3.0),
+        width=16,
+        height=16,
+        ortho=(-1.0, -1.0, 1.0, 1.0),
+        ambient=0.4,
+        light_mesh=light,
+        light_color=(1.0, 0.9, 0.8),
+        objects=[
+            SdlObject(mesh=floor, rgb=(0.6, 0.4, 0.2), ka=0.3, kd=0.7,
+                      ks=0.0, kt=0.0, n=2.0)
+        ],
+    )
+    return pack_scene(desc)
+
+
+@pytest.fixture(scope="module")
+def flat_scene():
+    return make_flat_scene()
+
+
+def center_rays(n=4):
+    """A small grid of rays through the window region (x, y≈-0.5) that all
+    hit the floor triangle's interior."""
+    xs = jnp.linspace(-0.2, 0.2, n)
+    ys = jnp.linspace(-0.6, -0.4, n)
+    x, y = jnp.meshgrid(xs, ys, indexing="ij")
+    pts = jnp.stack([x.ravel(), y.ravel(), jnp.zeros(n * n)], axis=-1)
+    eye = jnp.asarray([0.0, 0.0, 3.0], jnp.float32)
+    origins = jnp.broadcast_to(eye, pts.shape)
+    return origins.astype(jnp.float32), (pts - eye).astype(jnp.float32)
+
+
+def loss_and_grad(params, scene, cfg, rays, seed=0):
+    origins, dirs = rays
+    pids = jnp.arange(origins.shape[0], dtype=jnp.int32)
+    key = jax.random.PRNGKey(seed)
+    target = jnp.zeros((origins.shape[0], 3), jnp.float32)
+    render_fn = make_render_fn(cfg)
+
+    def f(p):
+        return pixel_loss(p, scene, target, render_fn, origins, dirs, pids, key)
+
+    return jax.value_and_grad(f)(params), f
+
+
+def central_fd(f, params, field, index, eps):
+    p_hi = dict(params)
+    p_lo = dict(params)
+    arr = params[field]
+    p_hi[field] = arr.at[index].add(eps)
+    p_lo[field] = arr.at[index].add(-eps)
+    return (f(p_hi) - f(p_lo)) / (2.0 * eps)
+
+
+@pytest.mark.parametrize(
+    "field,index,eps",
+    [
+        ("mat_rgb", (0, 0), 1e-2),
+        ("mat_rgb", (0, 2), 1e-2),
+        ("mat_ka", (0,), 1e-2),
+        ("mat_kd", (0,), 1e-2),
+        ("light_color", (1,), 1e-2),
+        ("ambient", (), 1e-2),
+    ],
+)
+def test_material_and_emission_grads_match_fd(flat_scene, field, index, eps):
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=2,
+                       n_light_samples=2)
+    params = {field: getattr(flat_scene, field)}
+    (loss, grads), f = loss_and_grad(params, flat_scene, cfg, center_rays())
+    assert jnp.isfinite(loss)
+    ad = np.asarray(grads[field])[index]
+    fd = float(central_fd(f, params, field, index, eps))
+    assert np.isfinite(ad)
+    np.testing.assert_allclose(ad, fd, rtol=2e-2, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "field,index",
+    [
+        ("tri_v0", (0, 1)),   # floor vertex height
+        ("tri_v0", (0, 0)),   # floor vertex x
+        ("light_v0", (0, 1)),  # light vertex height (NEE geometry)
+    ],
+)
+def test_vertex_grads_match_fd(flat_scene, field, index):
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       n_light_samples=2)
+    params = {field: getattr(flat_scene, field)}
+    (loss, grads), f = loss_and_grad(params, flat_scene, cfg, center_rays())
+    ad = np.asarray(grads[field])[index]
+    fd = float(central_fd(f, params, field, index, 2e-3))
+    assert np.isfinite(ad)
+    np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=5e-5)
+
+
+def test_light_vertex_grad_couples_tri_buffer(flat_scene):
+    """Moving a light vertex must also move its copy in the main triangle
+    buffer for hit tests — apply_params on light_v0 alone is a *sampling*
+    change; this documents that contract (both buffers exist)."""
+    moved = apply_params(flat_scene, {"light_v0": flat_scene.light_v0 + 0.1})
+    assert np.allclose(
+        np.asarray(moved.light_v0), np.asarray(flat_scene.light_v0) + 0.1
+    )
+
+
+def test_inverse_fit_recovers_albedo(flat_scene):
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=2,
+                       n_light_samples=2)
+    from pathtracerpython_tpu.render.integrator import render
+
+    target = render(flat_scene, cfg, seed=7)
+    true_rgb = np.asarray(flat_scene.mat_rgb)
+
+    params = {"mat_rgb": flat_scene.mat_rgb * 0.5}
+    params, losses = fit(
+        params, optax.adam(0.05), flat_scene, cfg, target, steps=30, seed=7
+    )
+    assert losses[-1] < losses[0] * 0.05, losses
+    got = np.asarray(params["mat_rgb"])[0]
+    np.testing.assert_allclose(got, true_rgb[0], atol=0.05)
+
+
+def test_sharded_train_step_matches_single(flat_scene):
+    """One optimizer step on an 8-device mesh == one single-device step
+    (grads psum through the shard_map transpose)."""
+    from pathtracerpython_tpu.parallel import make_mesh
+    from pathtracerpython_tpu.render.integrator import render
+
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=2)
+    target = render(flat_scene, cfg, seed=1)
+    opt = optax.sgd(0.1)
+    params = {"mat_rgb": flat_scene.mat_rgb * 0.8}
+    key = jax.random.PRNGKey(5)
+
+    single = make_train_step(opt, flat_scene, cfg, target)
+    p1, _, l1 = single(params, opt.init(params), key)
+
+    mesh = make_mesh(dp=4, geom=2)
+    sharded = make_train_step(
+        opt, flat_scene, cfg, target, mesh=mesh, geom_axis="geom"
+    )
+    p2, _, l2 = sharded(params, opt.init(params), key)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(p1["mat_rgb"]), np.asarray(p2["mat_rgb"]), rtol=1e-5,
+        atol=1e-7,
+    )
