@@ -8,6 +8,13 @@ Python pool is ~10²–10³ rays/s, see BASELINE.md).
 Counted rays = closest-hit path segments + NEE shadow rays, i.e.
 W·H·spp·bounces·(1 + n_light_samples) — every ray that runs an
 intersection sweep against the full scene.
+
+Measurement notes (axon TPU tunnel):
+- a host→device scalar upload or device→host fetch costs ~25-30 ms RTT, and
+  repeated executions with identical inputs can be served from a cache, so
+  the per-render time is amortized by scanning REPS renders with distinct
+  RNG keys inside ONE jitted call, fetching a single scalar, and
+  subtracting the separately-measured fetch overhead.
 """
 
 from __future__ import annotations
@@ -17,6 +24,23 @@ import time
 
 import jax
 import jax.numpy as jnp
+from jax import lax
+
+REPS = 10
+
+
+def _fetch_overhead_s() -> float:
+    """Round-trip latency of a trivial jitted scalar fetch."""
+    xs = jax.device_put(jnp.arange(6, dtype=jnp.int32))
+    jax.block_until_ready(xs)
+    f = jax.jit(lambda e: jnp.sum(e.astype(jnp.float32)))
+    float(f(xs[0]))
+    best = float("inf")
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        float(f(xs[i]))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:
@@ -32,36 +56,44 @@ def main() -> None:
     from pathtracerpython_tpu.render.integrator import render_rays
     from pathtracerpython_tpu.scene import load_scene
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() == "tpu"
     width = height = 512 if on_tpu else 64
     spp = 4 if on_tpu else 1
     bounces = 4
     nee = 3  # reference default n_light_samples (main.py:23)
 
-    scene = load_scene("/root/reference/objs/cornellroom.sdl")
-    cfg = RenderConfig(mode="fast", n_samples=spp, n_bounces=bounces,
-                       n_light_samples=nee)
+    scene = load_scene("/root/reference/objs/cornellroom.sdl", pad_to=32)
+    scene = jax.device_put(scene)
+    cfg = RenderConfig(
+        mode="fast", n_samples=spp, n_bounces=bounces, n_light_samples=nee,
+        backend="pallas" if on_tpu else "xla",
+    )
 
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, width, height)
     pixel_ids = jnp.arange(width * height, dtype=jnp.int32)
-    key = jax.random.PRNGKey(0)
+    run_ids = jax.device_put(jnp.arange(4, dtype=jnp.uint32) * REPS)
+    jax.block_until_ready((origins, dirs, pixel_ids, run_ids))
 
-    fn = jax.jit(
-        lambda sc, o, d, p, k: render_rays(o, d, p, sc, cfg, k)
-    )
-    out = fn(scene, origins, dirs, pixel_ids, key)
-    jax.block_until_ready(out)  # compile + warm up
+    @jax.jit
+    def run(sc, o, d, p, rid):
+        def body(acc, i):
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i + rid)
+            return acc + jnp.sum(render_rays(o, d, p, sc, cfg, key)), None
+        return lax.scan(body, 0.0, jnp.arange(REPS, dtype=jnp.uint32))[0]
 
-    reps = 3
+    float(run(scene, origins, dirs, pixel_ids, run_ids[0]))  # compile+warm
+    overhead = _fetch_overhead_s()
+
     best = float("inf")
-    for _ in range(reps):
+    for i in range(1, 3):
         t0 = time.perf_counter()
-        out = fn(scene, origins, dirs, pixel_ids, key)
-        jax.block_until_ready(out)
+        val = float(run(scene, origins, dirs, pixel_ids, run_ids[i]))
         best = min(best, time.perf_counter() - t0)
+    assert val == val, "NaN render sum"
+    per_render = max(best - overhead, 1e-9) / REPS
 
     total_rays = width * height * spp * bounces * (1 + nee)
-    rays_per_s = total_rays / best
+    rays_per_s = total_rays / per_render
     target = 50e6
     print(json.dumps({
         "metric": "rays_per_s_per_chip_cornell_4bounce",

@@ -1,0 +1,154 @@
+"""CLI: render an SDL scene to a PNG.
+
+Flag-compatible with the reference's argparse setup (``main.py:125-139``):
+positional ``scene``, ``--out``, ``-r`` rays/pixel, ``-b`` bounces, and the
+``--show-*`` debug views (which here write offline PNGs next to ``--out``
+instead of opening a Qt window). TPU-native extensions: estimator mode,
+intersection backend, light samples, seed, mesh sharding, and image
+normalization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def setup(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="ptpt", description="TPU-native differentiable path tracer"
+    )
+    # reference-compatible flags (main.py:125-139)
+    p.add_argument("scene", help="SDL scene file")
+    p.add_argument("--out", default="out.png", help="output image path")
+    p.add_argument("-r", "--rays-per-pixel", type=int, default=1,
+                   help="samples per pixel (reference -r)")
+    p.add_argument("-b", "--bounces", type=int, default=1,
+                   help="path bounces (reference -b)")
+    p.add_argument("--show-img", action="store_true",
+                   help="open the rendered image")
+    p.add_argument("--show-scene", action="store_true",
+                   help="write a 3-D wireframe debug view")
+    p.add_argument("--show-normals", action="store_true",
+                   help="include normals in the debug view")
+    p.add_argument("--show-screen", action="store_true",
+                   help="include colored screen points in the debug view")
+    p.add_argument("--show-inter", action="store_true",
+                   help="include first-hit points in the debug view")
+    # TPU-native extensions
+    p.add_argument("--mode", choices=("fast", "reference"), default="fast",
+                   help="estimator: fast (default) or reference-parity")
+    p.add_argument("--backend", choices=("xla", "pallas", "auto"),
+                   default="auto", help="intersection sweep backend")
+    p.add_argument("--light-samples", type=int, default=3,
+                   help="NEE samples per shading point (reference hardcodes 3)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis size (0 = single device)")
+    p.add_argument("--geom", type=int, default=1,
+                   help="geometry-ring mesh axis size")
+    p.add_argument("--normalization", choices=("minmax", "clip"),
+                   default="minmax",
+                   help="minmax reproduces the reference's auto-normalize")
+    p.add_argument("--pad-to", type=int, default=128,
+                   help="triangle buffer padding multiple")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = setup(argv)
+
+    import jax
+
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        # requested accelerator platform unavailable (e.g. the TPU tunnel is
+        # down) — fall back to CPU rather than dying before parsing the scene
+        print(f"warning: {e}\nfalling back to CPU", file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
+
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.image import radiance_to_image, save_png
+    from pathtracerpython_tpu.render.integrator import render
+    from pathtracerpython_tpu.scene import load_scene
+
+    log = (lambda *a: None) if args.quiet else print
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas" and args.mode == "reference":
+        log("note: reference mode runs on the xla backend")
+        backend = "xla"
+
+    scene = load_scene(args.scene, pad_to=args.pad_to)
+    cfg = RenderConfig(
+        mode=args.mode,
+        n_samples=args.rays_per_pixel,
+        n_bounces=args.bounces,
+        n_light_samples=args.light_samples,
+        backend=backend,
+    )
+    log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
+        f"{scene.meta.width}x{scene.meta.height})")
+    log(f"config: {cfg}")
+
+    t0 = time.perf_counter()
+    if args.dp > 0:
+        from pathtracerpython_tpu.parallel import make_mesh, render_sharded
+
+        mesh = make_mesh(dp=args.dp, geom=args.geom)
+        radiance = render_sharded(
+            scene, cfg, mesh, seed=args.seed,
+            geom_axis="geom" if args.geom > 1 else None,
+        )
+    else:
+        radiance = render(scene, cfg, seed=args.seed)
+    jax.block_until_ready(radiance)
+    log(f"rendered in {time.perf_counter() - t0:.2f}s")
+
+    image = radiance_to_image(
+        radiance, scene.meta.width, scene.meta.height,
+        normalization=args.normalization,
+    )
+    save_png(image, args.out)
+    log(f"wrote {args.out}")
+
+    if args.show_scene or args.show_normals or args.show_screen or args.show_inter:
+        from pathtracerpython_tpu.viz import plot_scene
+
+        intersections = None
+        if args.show_inter:
+            from pathtracerpython_tpu.ops.camera import make_primary_rays
+            from pathtracerpython_tpu.ops.geometry import nearest_hit
+
+            o, d = make_primary_rays(
+                scene.eye, scene.ortho, scene.meta.width, scene.meta.height
+            )
+            hit = nearest_hit(o, d, scene, mode=cfg.mode)
+            import numpy as np
+
+            intersections = np.asarray(hit.point)[np.asarray(hit.hit)]
+        debug_path = os.path.splitext(args.out)[0] + "_scene.png"
+        plot_scene(
+            scene, debug_path,
+            show_normals=args.show_normals,
+            show_screen=args.show_screen,
+            screen_colors=radiance if args.show_screen else None,
+            intersections=intersections,
+        )
+        log(f"wrote {debug_path}")
+
+    if args.show_img:
+        from PIL import Image
+
+        Image.fromarray(image).show()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
