@@ -44,12 +44,21 @@ def _fetch_overhead_s() -> float:
 
 
 def main() -> None:
-    try:
-        jax.devices()
-    except RuntimeError:
-        # requested platform (e.g. the axon TPU tunnel) unavailable in this
-        # shell — fall back to CPU so the bench still runs
+    import sys
+
+    for attempt in range(3):
+        try:
+            jax.devices()
+            break
+        except RuntimeError as e:
+            # the axon TPU tunnel can be transiently unavailable — retry,
+            # then fall back to CPU so the bench still runs
+            print(f"backend init failed (attempt {attempt + 1}): {e}",
+                  file=sys.stderr)
+            time.sleep(5)
+    else:
         jax.config.update("jax_platforms", "cpu")
+    print(f"bench platform: {jax.default_backend()}", file=sys.stderr)
 
     from pathtracerpython_tpu.ops.camera import make_primary_rays
     from pathtracerpython_tpu.render.config import RenderConfig

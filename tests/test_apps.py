@@ -1,0 +1,37 @@
+"""Inverse-rendering app smoke tests (tiny step counts)."""
+
+import json
+import os
+
+
+def test_fit_albedo_reduces_loss(tmp_path):
+    from pathtracerpython_tpu.apps.fit_albedo import run
+
+    result = run(
+        steps=8, lr=0.1, out_dir=str(tmp_path / "alb"), spp=1, bounces=1,
+        log=lambda *a: None,
+    )
+    assert result["loss_last"] < result["loss_first"]
+    assert os.path.exists(str(tmp_path / "alb" / "target.png"))
+    assert os.path.exists(str(tmp_path / "alb" / "fitted.png"))
+    with open(str(tmp_path / "alb" / "result.json")) as f:
+        assert len(json.load(f)["losses"]) == 8
+
+
+def test_fit_pose_recovers_light_position(tmp_path):
+    from pathtracerpython_tpu.apps.fit_pose import run
+
+    result = run(
+        steps=70, lr=0.05, out_dir=str(tmp_path / "pose"),
+        init_offset=(0.3, 0.0, 0.2), spp=1, bounces=1,
+        log=lambda *a: None,
+    )
+    assert result["loss_last"] < result["loss_first"] * 0.2
+    assert result["final_offset_norm"] < result["init_offset_norm"] * 0.5
+
+
+def test_find_object_index():
+    from pathtracerpython_tpu.apps.fit_pose import find_object_index
+
+    idx = find_object_index("/root/reference/objs/cornellroom.sdl", "cube")
+    assert idx >= 0
