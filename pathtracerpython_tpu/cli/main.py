@@ -54,6 +54,13 @@ def setup(argv=None) -> argparse.Namespace:
                    help="minmax reproduces the reference's auto-normalize")
     p.add_argument("--pad-to", type=int, default=128,
                    help="triangle buffer padding multiple")
+    p.add_argument("--morton", action="store_true",
+                   help="spatially sort triangles (tighter kernel-block "
+                        "AABBs -> faster large scenes; fast mode only)")
+    p.add_argument("--platform", choices=("default", "cpu", "tpu"),
+                   default="default",
+                   help="force a jax platform (the environment may pin one "
+                        "that plain JAX_PLATFORMS can't override)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -62,6 +69,9 @@ def main(argv=None) -> int:
     args = setup(argv)
 
     import jax
+
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
 
     try:
         jax.devices()
@@ -85,7 +95,12 @@ def main(argv=None) -> int:
         log("note: reference mode runs on the xla backend")
         backend = "xla"
 
-    scene = load_scene(args.scene, pad_to=args.pad_to)
+    if args.morton and args.mode == "reference":
+        log("note: --morton changes tie-break order; ignored in reference mode")
+    scene = load_scene(
+        args.scene, pad_to=args.pad_to,
+        morton_order=args.morton and args.mode != "reference",
+    )
     cfg = RenderConfig(
         mode=args.mode,
         n_samples=args.rays_per_pixel,

@@ -76,6 +76,57 @@ def pack_triangles(v0, v1, v2, valid, occluder) -> jax.Array:
     )
 
 
+def _block_aabbs(tripack: jax.Array, block: int) -> jax.Array:
+    """Per-triangle-block AABBs, f32[C, 8] = (min.xyz | max.xyz | 0 | 0).
+
+    Computed on the fly from the packed buffer (cheap [T,12] reduction), so
+    culling needs no new scene fields; ``pack_scene(morton_order=True)``
+    makes the blocks spatially tight. All-invalid blocks get an inverted
+    box (min > max) which the kernel treats as "skip".
+    """
+    t = tripack.shape[0]
+    c = t // block
+    tp = tripack.reshape(c, block, 12)
+    valid = (tp[:, :, 9:10] > 0.5)[..., None]          # [C, B, 1, 1]
+    vs = tp[:, :, 0:9].reshape(c, block, 3, 3)          # [C, B, vert, xyz]
+    vmin = jnp.min(jnp.where(valid, vs, BIG), axis=(1, 2))
+    vmax = jnp.max(jnp.where(valid, vs, -BIG), axis=(1, 2))
+    # [C, 1, 8]: the trailing (1, 8) matches the SMEM block exactly, which
+    # is what the TPU lowering requires for non-tile-aligned blocks
+    return jnp.concatenate(
+        [vmin, vmax, jnp.zeros((c, 2), tripack.dtype)], axis=1
+    )[:, None, :]
+
+
+def _aabb_cull(aabb_ref, o_ref, d_ref, tmin_bound):
+    """Slab test of the block's AABB against the ray block.
+
+    Returns (per-ray hit [1, R], block_nonempty scalar). ``tmin_bound``
+    [1, R]: entries farther than this (current best / light distance)
+    can't improve, so they don't keep the block alive.
+    """
+    enter = None
+    exit_ = None
+    for k in range(3):
+        o_k = o_ref[k:k + 1, :]
+        d_k = d_ref[k:k + 1, :]
+        safe_d = jnp.where(
+            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
+        )
+        inv = 1.0 / safe_d
+        lo = (aabb_ref[0, 0, k] - o_k) * inv
+        hi = (aabb_ref[0, 0, k + 3] - o_k) * inv
+        tn = jnp.minimum(lo, hi)
+        tf = jnp.maximum(lo, hi)
+        enter = tn if enter is None else jnp.maximum(enter, tn)
+        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    hit = (exit_ >= jnp.maximum(enter, 0.0) - 1e-3) & (
+        enter <= tmin_bound + 1e-3
+    )
+    nonempty = aabb_ref[0, 0, 0] <= aabb_ref[0, 0, 3]
+    return hit, nonempty
+
+
 def _mt_block(tri_ref, o_ref, d_ref):
     """Möller–Trumbore for one [T_BLK triangles × R_BLK rays] block.
 
@@ -121,7 +172,7 @@ def _mt_block(tri_ref, o_ref, d_ref):
     return hit, t
 
 
-def _nearest_kernel(tri_ref, o_ref, d_ref, t_out, idx_out):
+def _nearest_kernel(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -129,38 +180,46 @@ def _nearest_kernel(tri_ref, o_ref, d_ref, t_out, idx_out):
         t_out[:] = jnp.full_like(t_out, BIG)
         idx_out[:] = jnp.full_like(idx_out, -1)
 
-    hit, t = _mt_block(tri_ref, o_ref, d_ref)
-    key = jnp.where(hit, t, BIG)
-    tile_min = jnp.min(key, axis=0, keepdims=True)           # [1, R]
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
 
-    # first-minimum tie-break: smallest global index among optimal lanes
-    n_t = tri_ref.shape[0]
-    gidx = (
-        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) + j * n_t
-    )
-    imax = jnp.int32(2**31 - 1)
-    cand = jnp.where((key == tile_min) & hit, gidx, imax)
-    tile_idx = jnp.min(cand, axis=0, keepdims=True)          # [1, R]
+    @pl.when(nonempty & jnp.any(aabb_hit))
+    def _():
+        hit, t = _mt_block(tri_ref, o_ref, d_ref)
+        key = jnp.where(hit, t, BIG)
+        tile_min = jnp.min(key, axis=0, keepdims=True)       # [1, R]
 
-    better = (tile_min < t_out[:]) & (tile_idx != imax)
-    t_out[:] = jnp.where(better, tile_min, t_out[:])
-    idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+        # first-minimum tie-break: smallest global index among optimal lanes
+        n_t = tri_ref.shape[0]
+        gidx = (
+            jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) + j * n_t
+        )
+        imax = jnp.int32(2**31 - 1)
+        cand = jnp.where((key == tile_min) & hit, gidx, imax)
+        tile_idx = jnp.min(cand, axis=0, keepdims=True)      # [1, R]
+
+        better = (tile_min < t_out[:]) & (tile_idx != imax)
+        t_out[:] = jnp.where(better, tile_min, t_out[:])
+        idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
 
 
-def _any_hit_kernel(tri_ref, o_ref, d_ref, maxd_ref, occ_out):
+def _any_hit_kernel(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         occ_out[:] = jnp.zeros_like(occ_out)
 
-    hit, t = _mt_block(tri_ref, o_ref, d_ref)
-    occluder = tri_ref[:, 10:11] > 0.5
-    blocking = hit & occluder & (t < maxd_ref[:] - T_MIN)
-    any_block = jnp.max(
-        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
-    )
-    occ_out[:] = jnp.maximum(occ_out[:], any_block)
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
+
+    @pl.when(nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5)))
+    def _():
+        hit, t = _mt_block(tri_ref, o_ref, d_ref)
+        occluder = tri_ref[:, 10:11] > 0.5
+        blocking = hit & occluder & (t < maxd_ref[:] - T_MIN)
+        any_block = jnp.max(
+            jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+        )
+        occ_out[:] = jnp.maximum(occ_out[:], any_block)
 
 
 def _sweep_shapes(n, t):
@@ -168,13 +227,16 @@ def _sweep_shapes(n, t):
     tri_spec = pl.BlockSpec(
         (min(T_BLK, t), 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM
     )
+    aabb_spec = pl.BlockSpec(
+        (1, 1, 8), lambda i, j: (j, 0, 0), memory_space=pltpu.SMEM
+    )
     ray_spec = pl.BlockSpec(
         (3, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
-    return grid, tri_spec, ray_spec, out_spec
+    return grid, tri_spec, aabb_spec, ray_spec, out_spec
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -185,11 +247,12 @@ def _nearest_t_idx(o3, d3, tripack):
     """
     n = o3.shape[1]
     t = tripack.shape[0]
-    grid, tri_spec, ray_spec, out_spec = _sweep_shapes(n, t)
+    grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(n, t)
+    aabbs = _block_aabbs(tripack, min(T_BLK, t))
     t_out, idx_out = pl.pallas_call(
         _nearest_kernel,
         grid=grid,
-        in_specs=[tri_spec, ray_spec, ray_spec],
+        in_specs=[tri_spec, aabb_spec, ray_spec, ray_spec],
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), o3.dtype),
@@ -200,7 +263,7 @@ def _nearest_t_idx(o3, d3, tripack):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tripack, o3, d3)
+    )(tripack, aabbs, o3, d3)
     return t_out[0], idx_out[0]
 
 
@@ -235,8 +298,11 @@ def nearest_hit_pallas(origin, direction, scene) -> NearestHit:
     """Drop-in fast-mode replacement for ``ops.geometry.nearest_hit``."""
     n = origin.shape[0]
     d_unit = safe_normalize(direction)
-    o3 = _pad_dim(origin.T, R_BLK, axis=1)
-    d3 = _pad_dim(d_unit.T, R_BLK, axis=1)
+    # ray padding: far origin + unit-ish dir so padded lanes cleanly miss
+    # every AABB and triangle (a zero direction would pass the slab test
+    # and defeat block skipping)
+    o3 = _pad_dim(origin.T, R_BLK, axis=1, value=1e6)
+    d3 = _pad_dim(d_unit.T, R_BLK, axis=1, value=1.0)
     tripack = pack_triangles(
         scene.tri_v0, scene.tri_v1, scene.tri_v2,
         scene.tri_valid, scene.tri_occluder,
@@ -270,8 +336,8 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
     n = origin.shape[0]
     d_unit = safe_normalize(direction)
     sg = lax.stop_gradient
-    o3 = _pad_dim(sg(origin).T, R_BLK, axis=1)
-    d3 = _pad_dim(sg(d_unit).T, R_BLK, axis=1)
+    o3 = _pad_dim(sg(origin).T, R_BLK, axis=1, value=1e6)
+    d3 = _pad_dim(sg(d_unit).T, R_BLK, axis=1, value=1.0)
     maxd = _pad_dim(sg(max_dist)[None, :], R_BLK, axis=1)
     tripack = pack_triangles(
         sg(scene.tri_v0), sg(scene.tri_v1), sg(scene.tri_v2),
@@ -280,14 +346,17 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
     tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
 
     t_count = tripack.shape[0]
-    grid, tri_spec, ray_spec, out_spec = _sweep_shapes(o3.shape[1], t_count)
+    grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(
+        o3.shape[1], t_count
+    )
+    aabbs = _block_aabbs(tripack, min(T_BLK, t_count))
     maxd_spec = pl.BlockSpec(
         (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
     occ = pl.pallas_call(
         _any_hit_kernel,
         grid=grid,
-        in_specs=[tri_spec, ray_spec, ray_spec, maxd_spec],
+        in_specs=[tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, o3.shape[1]), origin.dtype),
         cost_estimate=pl.CostEstimate(
@@ -296,5 +365,5 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tripack, o3, d3, maxd)
+    )(tripack, aabbs, o3, d3, maxd)
     return occ[0, :n] > 0.5

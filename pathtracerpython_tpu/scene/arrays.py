@@ -124,10 +124,36 @@ class SceneArrays:
         return jax.tree_util.tree_unflatten(treedef, [cast(l) for l in leaves])
 
 
+def _morton_argsort(centroids: np.ndarray) -> np.ndarray:
+    """Spatial (Z-order) sort of triangle centroids — groups nearby
+    triangles into contiguous buffer blocks so the kernels' per-block AABBs
+    are tight and block-granular culling bites (kernels/intersect_pallas)."""
+    lo = centroids.min(axis=0)
+    hi = centroids.max(axis=0)
+    q = ((centroids - lo) / np.maximum(hi - lo, 1e-12) * 1023.0)
+    q = np.clip(q, 0, 1023).astype(np.uint32)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint32(0x030000FF)
+        x = (x | (x << 8)) & np.uint32(0x0300F00F)
+        x = (x | (x << 4)) & np.uint32(0x030C30C3)
+        x = (x | (x << 2)) & np.uint32(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable")
+
+
 def pack_scene(
-    desc: SceneDescription, pad_to: int = 128, dtype=np.float32
+    desc: SceneDescription, pad_to: int = 128, dtype=np.float32,
+    morton_order: bool = False,
 ) -> SceneArrays:
-    """Pack a parsed SDL scene into padded SoA device arrays."""
+    """Pack a parsed SDL scene into padded SoA device arrays.
+
+    ``morton_order=True`` spatially sorts the triangle buffer (fast-mode
+    only: it changes the reference's nearest-hit tie-break order, so leave
+    it off when gating against reference-mode parity).
+    """
     assert desc.objects, "scene has no objects"
     assert desc.light_mesh is not None, "scene has no light"
 
@@ -158,6 +184,13 @@ def pack_scene(
     tri_material = np.concatenate(mats)
     tri_is_light = np.concatenate(is_light)
     n_tris = tri_v0.shape[0]
+
+    if morton_order:
+        order = _morton_argsort((tri_v0 + tri_v1 + tri_v2) / 3.0)
+        tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
+        tri_normal, tri_area = tri_normal[order], tri_area[order]
+        tri_material = tri_material[order]
+        tri_is_light = tri_is_light[order]
 
     T = max(_round_up(n_tris, pad_to), pad_to)
     pad = T - n_tris
@@ -216,9 +249,14 @@ def pack_scene(
     return jax.tree_util.tree_map(jnp.asarray, scene)
 
 
-def load_scene(path: str, pad_to: int = 128, dtype=np.float32) -> SceneArrays:
+def load_scene(
+    path: str, pad_to: int = 128, dtype=np.float32,
+    morton_order: bool = False,
+) -> SceneArrays:
     """Parse an SDL file and pack it for the device."""
-    return pack_scene(load_sdl(path), pad_to=pad_to, dtype=dtype)
+    return pack_scene(
+        load_sdl(path), pad_to=pad_to, dtype=dtype, morton_order=morton_order
+    )
 
 
 def recompute_derived(scene: SceneArrays) -> SceneArrays:

@@ -15,7 +15,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
-from pathtracerpython_tpu.scene.obj import ObjMesh, load_obj, strip_comments
+from pathtracerpython_tpu.scene.obj import ObjMesh, strip_comments
+from pathtracerpython_tpu.scene.native import load_obj_fast as load_obj
 
 
 @dataclasses.dataclass

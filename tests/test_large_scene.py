@@ -1,0 +1,89 @@
+"""Large synthetic scenes: Morton packing + AABB-culled kernels vs the
+brute-force XLA sweep oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracerpython_tpu.kernels import any_hit_pallas, nearest_hit_pallas
+from pathtracerpython_tpu.ops.camera import make_primary_rays
+from pathtracerpython_tpu.ops.geometry import (
+    any_hit_within,
+    nearest_hit,
+    safe_normalize,
+)
+from pathtracerpython_tpu.scene.arrays import pack_scene
+from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+
+@pytest.fixture(scope="module")
+def boxes_scene():
+    # 64 boxes → 772 real triangles; morton_order groups them into tight
+    # 512-triangle kernel blocks
+    return pack_scene(box_field_scene(n_boxes=64, seed=3), morton_order=True)
+
+
+def test_morton_pack_preserves_triangle_set(cornell_sdl):
+    from pathtracerpython_tpu.scene.sdl import load_sdl
+
+    desc = load_sdl(cornell_sdl)
+    plain = pack_scene(desc)
+    sorted_ = pack_scene(desc, morton_order=True)
+
+    def key_set(sc):
+        v = np.asarray(sc.tri_v0)[np.asarray(sc.tri_valid)]
+        return {tuple(np.round(r, 5)) for r in v}
+
+    assert key_set(plain) == key_set(sorted_)
+    assert int(np.asarray(sorted_.tri_valid).sum()) == plain.meta.n_triangles
+    # light triangles keep their flags through the permutation
+    assert (
+        int(np.asarray(sorted_.tri_is_light).sum())
+        == plain.meta.n_light_triangles
+    )
+
+
+def test_culled_nearest_matches_bruteforce(boxes_scene):
+    sc = boxes_scene
+    o, d = make_primary_rays(sc.eye, sc.ortho, sc.meta.width, sc.meta.height)
+    ref = nearest_hit(o, d, sc, mode="fast")
+    out = nearest_hit_pallas(o, d, sc)
+    np.testing.assert_array_equal(np.asarray(out.hit), np.asarray(ref.hit))
+    h = np.asarray(ref.hit)
+    np.testing.assert_array_equal(
+        np.asarray(out.tri_idx)[h], np.asarray(ref.tri_idx)[h]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.t)[h], np.asarray(ref.t)[h], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_culled_any_hit_matches_bruteforce(boxes_scene):
+    sc = boxes_scene
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 384
+    origin = jax.random.uniform(
+        k1, (n, 3), minval=-4.0, maxval=4.0
+    ) * jnp.asarray([1.0, 0.25, 1.0]) + jnp.asarray([0.0, -0.5, -8.0])
+    direction = safe_normalize(jax.random.normal(k2, (n, 3)))
+    max_dist = jax.random.uniform(k3, (n,), minval=1.0, maxval=12.0)
+    ref = any_hit_within(origin, direction, max_dist, sc)
+    out = any_hit_pallas(origin, direction, max_dist, sc)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_render_morton_scene_matches_plain(cornell_sdl):
+    """Rendering must be invariant to triangle buffer order (fast mode)."""
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render
+    from pathtracerpython_tpu.scene.sdl import load_sdl
+
+    desc = load_sdl(cornell_sdl)
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=2)
+    r_plain = np.asarray(render(pack_scene(desc), cfg, seed=4))
+    r_sorted = np.asarray(
+        render(pack_scene(desc, morton_order=True), cfg, seed=4)
+    )
+    np.testing.assert_allclose(r_sorted, r_plain, rtol=1e-5, atol=1e-5)
