@@ -269,9 +269,14 @@ def recompute_derived(scene: SceneArrays) -> SceneArrays:
     """
     def derive(v0, v1, v2):
         cross = jnp.cross(v1 - v0, v2 - v0)
-        norm = jnp.linalg.norm(cross, axis=-1, keepdims=True)
-        normal = cross / jnp.where(norm == 0.0, 1.0, norm)
-        return normal, norm[..., 0] / 2.0
+        # guard BEFORE the sqrt: d(sqrt)/dx at 0 is inf, and inf·0 = NaN in
+        # the backward pass for degenerate (padding) triangles
+        sq = jnp.sum(cross * cross, axis=-1, keepdims=True)
+        degenerate = sq == 0.0
+        norm = jnp.sqrt(jnp.where(degenerate, 1.0, sq))
+        normal = jnp.where(degenerate, 0.0, cross / norm)
+        area = jnp.where(degenerate[..., 0], 0.0, norm[..., 0] / 2.0)
+        return normal, area
 
     tri_normal, tri_area = derive(scene.tri_v0, scene.tri_v1, scene.tri_v2)
     _, light_area = derive(scene.light_v0, scene.light_v1, scene.light_v2)
