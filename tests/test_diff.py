@@ -193,3 +193,20 @@ def test_sharded_train_step_matches_single(flat_scene):
         np.asarray(p1["mat_rgb"]), np.asarray(p2["mat_rgb"]), rtol=1e-5,
         atol=1e-7,
     )
+
+
+def test_remat_bounces_gradients_match(flat_scene):
+    """jax.checkpoint over bounces must not change values or gradients."""
+    import dataclasses
+
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=3,
+                       n_light_samples=2)
+    cfg_r = dataclasses.replace(cfg, remat_bounces=True)
+    params = {"mat_rgb": flat_scene.mat_rgb}
+    (l1, g1), _ = loss_and_grad(params, flat_scene, cfg, center_rays())
+    (l2, g2), _ = loss_and_grad(params, flat_scene, cfg_r, center_rays())
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1["mat_rgb"]), np.asarray(g2["mat_rgb"]), rtol=1e-5,
+        atol=1e-8,
+    )
