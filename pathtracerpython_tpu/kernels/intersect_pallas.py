@@ -315,14 +315,19 @@ def nearest_hit_pallas(origin, direction, scene) -> NearestHit:
     t = jnp.where(found, t, 0.0)  # miss lanes: 0, like the XLA sweep
     safe_idx = jnp.maximum(idx, 0)
     point = origin + d_unit * t[:, None]
+    from pathtracerpython_tpu.ops.geometry import resolve_hit_attributes
+
+    normal, material, is_light = resolve_hit_attributes(
+        scene, safe_idx, found
+    )
     return NearestHit(
         hit=found,
         t=t,
         tri_idx=safe_idx,
         point=point,
-        normal=scene.tri_normal[safe_idx],
-        material=scene.tri_material[safe_idx],
-        is_light=scene.tri_is_light[safe_idx] & found,
+        normal=normal,
+        material=material,
+        is_light=is_light,
     )
 
 

@@ -96,6 +96,26 @@ def intersect_moller(origin, direction, v0, v1, v2, eps: float = 1e-7):
     return hit, t
 
 
+def resolve_hit_attributes(scene: SceneArrays, tri_idx, found):
+    """(normal, material, is_light) for winning triangle indices — via one
+    packed one-hot matmul for small scenes (ops.gather) instead of three
+    per-ray gathers, which dominate the bounce cost on TPU."""
+    from pathtracerpython_tpu.ops.gather import take_columns_packed
+
+    f = scene.tri_normal.dtype
+    normal, matf, lightf = take_columns_packed(
+        [
+            scene.tri_normal,
+            scene.tri_material.astype(f)[:, None],
+            scene.tri_is_light.astype(f)[:, None],
+        ],
+        tri_idx,
+    )
+    material = matf[..., 0].astype(jnp.int32)
+    is_light = (lightf[..., 0] > 0.5) & found
+    return normal, material, is_light
+
+
 class NearestHit(NamedTuple):
     """Per-ray nearest-hit record (masked lanes instead of None)."""
 
@@ -192,14 +212,17 @@ def nearest_hit(
 
     found = best_key < big
     point = origin + d_unit * best_t[:, None]
+    normal, material, is_light = resolve_hit_attributes(
+        scene, best_idx, found
+    )
     return NearestHit(
         hit=found,
         t=best_t,
         tri_idx=best_idx,
         point=point,
-        normal=scene.tri_normal[best_idx],
-        material=scene.tri_material[best_idx],
-        is_light=scene.tri_is_light[best_idx] & found,
+        normal=normal,
+        material=material,
+        is_light=is_light,
     )
 
 
@@ -263,3 +286,70 @@ def any_hit_within(
 
     init = jnp.zeros(origin.shape[0], dtype=bool)
     return _sweep_tiles(T, tile, body, init)
+
+
+IMAX = 2**31 - 1
+
+
+def first_occluder_index(
+    origin: jax.Array,
+    direction: jax.Array,
+    max_dist: jax.Array,
+    scene: SceneArrays,
+    mode: str = "reference",
+    tile: int = 128,
+    geom_axis: str | None = None,
+    geom_axis_size: int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """(buffer index, material row) of the FIRST occluder in scan order;
+    index is -1 (material 0) when unoccluded.
+
+    Exists to reproduce a reference bug: ``compute_shadow_rays`` reads the
+    occlusion scan's leaked loop variable ``obj`` for the direct-light
+    color (``main.py:42-71``), so the shaded color depends on which object
+    blocked the LAST light sample. "First in scan order" = smallest buffer
+    index (pack order preserves the reference's object→triangle iteration
+    order, with the light — never scanned — last). The material is
+    resolved here because under geometry sharding the caller only holds a
+    shard of the material table.
+    """
+    if geom_axis is not None:
+        from pathtracerpython_tpu.parallel.ring import first_occluder_ring
+
+        return first_occluder_ring(
+            origin, direction, max_dist, scene, mode, tile,
+            axis_name=geom_axis, axis_size=geom_axis_size,
+        )
+
+    T = scene.tri_v0.shape[0]
+    tile = min(tile, T)
+    d_unit = safe_normalize(direction)
+
+    def body(best, start):
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, tile, axis=0)
+        v0, v1, v2 = sl(scene.tri_v0), sl(scene.tri_v1), sl(scene.tri_v2)
+        occ_mask = sl(scene.tri_occluder)
+        o = origin[:, None, :]
+        d = d_unit[:, None, :]
+        if mode == "reference":
+            hit, t = intersect_reference(o, d, v0[None], v1[None], v2[None])
+            sq = t * t
+            blocking = hit & (sq >= ZERO) & (sq < (max_dist * max_dist)[:, None])
+        else:
+            hit, t = intersect_moller(o, d, v0[None], v1[None], v2[None])
+            blocking = hit & (t < max_dist[:, None] - 1e-4)
+        blocking = blocking & occ_mask[None, :]
+        tidx = jnp.arange(tile, dtype=jnp.int32)[None, :] + start
+        cand = jnp.where(blocking, tidx, IMAX)
+        return jnp.minimum(best, jnp.min(cand, axis=1))
+
+    init = jnp.full(origin.shape[0], IMAX, jnp.int32)
+    best = _sweep_tiles(T, tile, body, init)
+    found = best != IMAX
+    from pathtracerpython_tpu.ops.gather import take_rows
+
+    material = take_rows(
+        scene.tri_material.astype(scene.tri_v0.dtype)[:, None],
+        jnp.where(found, best, 0),
+    )[..., 0].astype(jnp.int32)
+    return jnp.where(found, best, -1), jnp.where(found, material, 0)

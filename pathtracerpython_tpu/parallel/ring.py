@@ -134,3 +134,34 @@ def any_hit_ring(
         if step + 1 < axis_size:
             scene = _rotate_tri_shard(scene, axis_name, axis_size)
     return occluded
+
+
+def first_occluder_ring(
+    origin, direction, max_dist, scene, mode, tile, axis_name, axis_size
+):
+    """Ring form of ``ops.geometry.first_occluder_index``: (global buffer
+    index, material) of the min-index blocking triangle across shards, or
+    (-1, 0). Material is resolved in the step that held the shard."""
+    from pathtracerpython_tpu.ops.geometry import IMAX, first_occluder_index
+
+    n = axis_size
+    me = lax.axis_index(axis_name)
+    shard_t = scene.tri_v0.shape[0]
+    best = jnp.full(origin.shape[0], IMAX, jnp.int32)
+    best_mat = jnp.zeros(origin.shape[0], jnp.int32)
+    for step in range(n):
+        local, local_mat = first_occluder_index(
+            origin, direction, max_dist, scene, mode=mode, tile=tile
+        )
+        owner = jnp.mod(me - step, n).astype(jnp.int32)
+        glob = jnp.where(local >= 0, local + owner * shard_t, IMAX)
+        better = glob < best
+        best = jnp.where(better, glob, best)
+        best_mat = jnp.where(better, local_mat, best_mat)
+        if step + 1 < n:
+            scene = _rotate_tri_shard(scene, axis_name, n)
+    found = best != IMAX
+    return (
+        jnp.where(found, best, -1),
+        jnp.where(found, best_mat, 0),
+    )

@@ -70,14 +70,33 @@ def _uniforms(keys, shape):
     return jax.vmap(lambda k: jax.random.uniform(k, shape))(keys)
 
 
-def _mat_gather(scene: SceneArrays, material):
-    rgb = scene.mat_rgb[material]
-    return (
-        rgb,
-        scene.mat_ka[material],
-        scene.mat_kd[material],
-        scene.mat_ks[material],
-        scene.mat_n[material],
+class Materials(NamedTuple):
+    """Per-ray material properties, resolved ONCE per bounce (a single
+    packed one-hot matmul, ops/gather.py) instead of 15 per-ray gathers
+    spread across shade/NEE/scatter — gathers dominate TPU bounce cost."""
+
+    rgb: jax.Array  # f[N, 3]
+    ka: jax.Array   # f[N]
+    kd: jax.Array   # f[N]
+    ks: jax.Array   # f[N]
+    n: jax.Array    # f[N]
+
+
+def resolve_materials(scene: SceneArrays, material) -> Materials:
+    from pathtracerpython_tpu.ops.gather import take_columns_packed
+
+    rgb, ka, kd, ks, n = take_columns_packed(
+        [
+            scene.mat_rgb,
+            scene.mat_ka[:, None],
+            scene.mat_kd[:, None],
+            scene.mat_ks[:, None],
+            scene.mat_n[:, None],
+        ],
+        material,
+    )
+    return Materials(
+        rgb=rgb, ka=ka[..., 0], kd=kd[..., 0], ks=ks[..., 0], n=n[..., 0]
     )
 
 
@@ -97,7 +116,8 @@ def _power_numpy_semantics(base, exponent):
 
 
 def shade_nee(
-    point, normal, material, keys, scene: SceneArrays, cfg: RenderConfig
+    point, normal, mat: Materials, keys, scene: SceneArrays,
+    cfg: RenderConfig,
 ):
     """Direct lighting via next-event estimation at [N] shading points.
 
@@ -117,9 +137,13 @@ def shade_nee(
         bary = sampling.sample_barycentric_reference(u[..., 1:4])
     else:
         bary = sampling.sample_barycentric_uniform(u[..., 1:3])
-    light_pt = sampling.point_from_barycentric(
-        bary, scene.light_v0[tri], scene.light_v1[tri], scene.light_v2[tri]
-    )  # [N, S, 3]
+    from pathtracerpython_tpu.ops.gather import take_columns_packed
+
+    lv0, lv1, lv2 = take_columns_packed(
+        [scene.light_v0, scene.light_v1, scene.light_v2], tri
+    )
+    light_pt = sampling.point_from_barycentric(bary, lv0, lv1, lv2)
+    # [N, S, 3]
 
     vec = light_pt - point[:, None, :]
     # sqrt(x + tiny), not linalg.norm: lanes shading ON the light (terminated
@@ -145,12 +169,32 @@ def shade_nee(
         cos = jnp.maximum(cos, 0.0)
     mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=-1)  # [N]
 
-    rgb, _, _, _, _ = _mat_gather(scene, material)
-    return scene.light_color[None, :] * rgb * mean_cos[:, None]
+    if cfg.mode == "reference":
+        # Reference bug (main.py:42-71): ``obj_color`` reads the occlusion
+        # scan's leaked loop variable, so the direct term is tinted by the
+        # object that blocked the LAST light sample — or, when that sample
+        # was unoccluded, by the LAST object in the SDL — never by the
+        # object actually being shaded (only ambient uses the true rgb).
+        from pathtracerpython_tpu.ops.gather import take_rows
+        from pathtracerpython_tpu.ops.geometry import first_occluder_index
+
+        occ_idx, occ_mat = first_occluder_index(
+            point, sdir[:, -1, :], dist[:, -1], scene,
+            mode=cfg.mode, tile=cfg.tile,
+            geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
+        )
+        quirk_mat = jnp.where(
+            occ_idx >= 0, occ_mat, scene.meta.n_objects - 1
+        )
+        direct_rgb = take_rows(scene.mat_rgb, quirk_mat)
+    else:
+        direct_rgb = mat.rgb
+
+    return scene.light_color[None, :] * direct_rgb * mean_cos[:, None]
 
 
-def shade(hit: NearestHit, keys, scene: SceneArrays, cfg: RenderConfig,
-          prev_specular):
+def shade(hit: NearestHit, mat: Materials, keys, scene: SceneArrays,
+          cfg: RenderConfig, prev_specular):
     """Per-bounce color: light hits pay the light color, surface hits pay
     ambient + NEE (``compute_color``, ``main.py:142-145``). Misses pay 0.
 
@@ -158,9 +202,8 @@ def shade(hit: NearestHit, keys, scene: SceneArrays, cfg: RenderConfig,
     a light hit only pays when the path arrived from the camera or a
     specular bounce (NEE already accounts for diffuse paths).
     """
-    rgb, ka, _, _, _ = _mat_gather(scene, hit.material)
-    ambient = rgb * (ka * scene.ambient)[..., None]
-    direct = shade_nee(hit.point, hit.normal, hit.material, keys, scene, cfg)
+    ambient = mat.rgb * (mat.ka * scene.ambient)[..., None]
+    direct = shade_nee(hit.point, hit.normal, mat, keys, scene, cfg)
     surface = ambient + direct
 
     light = jnp.broadcast_to(scene.light_color[None, :], surface.shape)
@@ -171,8 +214,8 @@ def shade(hit: NearestHit, keys, scene: SceneArrays, cfg: RenderConfig,
 
 
 def scatter(
-    state: RayState, hit: NearestHit, keys, scene: SceneArrays,
-    cfg: RenderConfig
+    state: RayState, hit: NearestHit, mat: Materials, keys,
+    scene: SceneArrays, cfg: RenderConfig
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """BRDF sampling: returns (new_dir, throughput_factor, survives,
     chose_specular) for every lane (masked by the caller).
@@ -189,7 +232,7 @@ def scatter(
     weighted, unbiased for the kd+ks ≤ 1 energy split).
     """
     u = _uniforms(keys, (3,))  # [N, 3]
-    _, _, kd, ks, n_phong = _mat_gather(scene, hit.material)
+    kd, ks, n_phong = mat.kd, mat.ks, mat.n
     normal = hit.normal
 
     if cfg.mode == "reference":
@@ -242,14 +285,15 @@ def bounce_step(
     k_nee = _vm_fold(kb, 0)
     k_scatter = _vm_fold(kb, 1)
 
-    color = shade(hit, k_nee, scene, cfg, state.prev_specular)
+    mat = resolve_materials(scene, hit.material)
+    color = shade(hit, mat, k_nee, scene, cfg, state.prev_specular)
     contrib = jnp.where(
         state.alive[:, None], color * state.throughput[:, None], 0.0
     )
     radiance = state.radiance + contrib
 
     new_dir, factor, survives, chose_spec = scatter(
-        state, hit, k_scatter, scene, cfg
+        state, hit, mat, k_scatter, scene, cfg
     )
     alive = state.alive & survives
     throughput = jnp.where(alive, state.throughput * factor, state.throughput)

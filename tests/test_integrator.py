@@ -25,13 +25,21 @@ def test_render_shapes_finite(radiance_1b):
 
 
 def test_render_plausibility(radiance_1b):
-    """Left wall is red, right wall green, light visible at ceiling center."""
-    _, rad = radiance_1b
+    """Left wall is red, right wall green, light visible at ceiling center.
+
+    In reference mode the wall tint is weak: the reference's direct-light
+    color comes from a leaked loop variable (the last-scanned occluder /
+    last SDL object, ``main.py:42-71``), so only the ambient term carries
+    the true wall color. Fast mode shades with the correct material.
+    """
+    mode, rad = radiance_1b
     canvas = np.asarray(radiance_to_canvas(jnp.asarray(rad), 40, 40))
     left = canvas[15:25, 0:5]    # mid rows, left columns
     right = canvas[15:25, 35:40]
-    assert left[..., 0].mean() > left[..., 1].mean() * 2, "left wall not red"
-    assert right[..., 1].mean() > right[..., 0].mean() * 2, "right wall not green"
+    factor = 2.0 if mode == "fast" else 1.1
+    assert left[..., 0].mean() > left[..., 1].mean() * factor, "left not red"
+    assert right[..., 1].mean() > right[..., 0].mean() * factor, \
+        "right not green"
     # the light quad projects into the upper-center region; rays that hit it
     # pay light_color = (1,1,1), so the region max must be near-white
     top_center = canvas[0:10, 12:28]
