@@ -49,6 +49,10 @@ R_BLK = 128   # rays per block (lanes)
 T_BLK = 512   # triangles per block (sublanes)
 
 BIG = 3.0e38  # python float, not a jnp constant — kernels close over it
+
+# Trace-time toggle for per-block AABB culling (pays off on big scenes,
+# pure predication overhead on tiny ones — see bench notes).
+ENABLE_CULL = True
 DET_EPS = 1e-7
 T_MIN = 1e-4  # forward near-clip, matches ops.geometry.intersect_moller
 
@@ -180,9 +184,13 @@ def _nearest_kernel(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
         t_out[:] = jnp.full_like(t_out, BIG)
         idx_out[:] = jnp.full_like(idx_out, -1)
 
-    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
+    if ENABLE_CULL:
+        aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
+        run_pred = nonempty & jnp.any(aabb_hit)
+    else:
+        run_pred = jnp.bool_(True)
 
-    @pl.when(nonempty & jnp.any(aabb_hit))
+    @pl.when(run_pred)
     def _():
         hit, t = _mt_block(tri_ref, o_ref, d_ref)
         key = jnp.where(hit, t, BIG)
@@ -209,9 +217,13 @@ def _any_hit_kernel(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
     def _():
         occ_out[:] = jnp.zeros_like(occ_out)
 
-    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
+    if ENABLE_CULL:
+        aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
+        run_pred = nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5))
+    else:
+        run_pred = jnp.bool_(True)
 
-    @pl.when(nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5)))
+    @pl.when(run_pred)
     def _():
         hit, t = _mt_block(tri_ref, o_ref, d_ref)
         occluder = tri_ref[:, 10:11] > 0.5

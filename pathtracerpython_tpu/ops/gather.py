@@ -16,17 +16,27 @@ import jax.numpy as jnp
 
 # Max table rows for the one-hot path. Memory for the one-hot operand is
 # N x rows x 4B (e.g. 262k rays x 128 rows = 134 MB, transient).
-ONEHOT_ROWS = 128
+#
+# Default 0 = always use real gathers. Measured end-to-end on a v5e chip
+# (Cornell 512^2, 4 spp, 4 bounces): isolated gathers bench 5x slower than
+# one-hot matmuls, but inside the fused render XLA overlaps gather latency
+# with the Pallas sweeps and the one-hot variant was ~20% SLOWER overall
+# (44.9 -> 35.7 Mrays/s). The packed-lookup API stays: it is the
+# correctness mechanism for shard-local attribute resolution (ring mode)
+# and a tuning knob for gather-bound scenes.
+ONEHOT_ROWS = 0
 
 
 def take_rows(table: jax.Array, idx: jax.Array,
-              onehot_rows: int = ONEHOT_ROWS) -> jax.Array:
+              onehot_rows: int | None = None) -> jax.Array:
     """``table[idx]`` with an MXU-friendly lowering for small tables.
 
     table: [R, ...c] float array; idx: integer array of any shape.
     Returns [*idx.shape, ...c]. Differentiable w.r.t. ``table`` (the
     one-hot transpose is the exact scatter-add a gather would need).
     """
+    if onehot_rows is None:
+        onehot_rows = ONEHOT_ROWS  # read at call time: tunable/testable
     r = table.shape[0]
     if r > onehot_rows:
         return table[idx]
@@ -40,7 +50,7 @@ def take_rows(table: jax.Array, idx: jax.Array,
 
 
 def take_columns_packed(tables: list[jax.Array], idx: jax.Array,
-                        onehot_rows: int = ONEHOT_ROWS) -> list[jax.Array]:
+                        onehot_rows: int | None = None) -> list[jax.Array]:
     """Look up the same rows of several [R, ...] float tables with ONE
     matmul: concatenates columns, takes rows, splits back."""
     cols = []

@@ -19,6 +19,8 @@ def plot_scene(
     show_screen: bool = False,
     screen_colors=None,
     intersections=None,
+    rays=None,
+    ray_length: float = 8.0,
     elev: float = 20.0,
     azim: float = -60.0,
 ) -> str:
@@ -26,6 +28,8 @@ def plot_scene(
 
     ``screen_colors``: optional [W*H, 3] radiance for the screen scatter.
     ``intersections``: optional [N, 3] first-hit points.
+    ``rays``: optional (origins [N,3], directions [N,3]) drawn as segments
+    (the reference's ray overlay, ``plot.py:92-95``).
     Returns ``out_path``.
     """
     import matplotlib
@@ -75,6 +79,14 @@ def plot_scene(
         else:
             col = "green"
         ax.scatter(pts[:, 0], pts[:, 2], pts[:, 1], c=col, s=1)
+
+    if rays is not None:
+        ro, rd = (np.asarray(r) for r in rays)
+        norm = np.linalg.norm(rd, axis=-1, keepdims=True)
+        tips = ro + rd / np.maximum(norm, 1e-12) * ray_length
+        for a, b in zip(ro, tips):
+            ax.plot([a[0], b[0]], [a[2], b[2]], [a[1], b[1]],
+                    color="cyan", linewidth=0.3, alpha=0.5)
 
     if intersections is not None:
         ip = np.asarray(intersections)

@@ -11,7 +11,7 @@ def test_take_rows_matches_gather_small():
     table = jnp.arange(24.0).reshape(8, 3)
     idx = jnp.asarray([[0, 7], [3, 3]], jnp.int32)
     np.testing.assert_array_equal(
-        np.asarray(take_rows(table, idx)), np.asarray(table[idx])
+        np.asarray(take_rows(table, idx, onehot_rows=256)), np.asarray(table[idx])
     )
 
 
@@ -19,7 +19,8 @@ def test_take_rows_large_table_falls_back():
     table = jnp.arange(600.0).reshape(200, 3)
     idx = jnp.asarray([0, 199, 57], jnp.int32)
     np.testing.assert_array_equal(
-        np.asarray(take_rows(table, idx)), np.asarray(table[idx])
+        np.asarray(take_rows(table, idx, onehot_rows=128)),
+        np.asarray(table[idx]),
     )
 
 
@@ -28,7 +29,7 @@ def test_take_rows_gradient_is_scatter_add():
     idx = jnp.asarray([1, 1, 3], jnp.int32)
 
     def f(t):
-        return jnp.sum(take_rows(t, idx) * 2.0)
+        return jnp.sum(take_rows(t, idx, onehot_rows=256) * 2.0)
 
     g = np.asarray(jax.grad(f)(table))
     expect = np.zeros((4, 2))
@@ -42,7 +43,7 @@ def test_take_columns_packed_matches_individual():
     b = jnp.arange(4.0).reshape(4, 1)
     c = jnp.arange(8.0).reshape(4, 2)
     idx = jnp.asarray([[2, 0]], jnp.int32)
-    ra, rb, rc = take_columns_packed([a, b, c], idx)
+    ra, rb, rc = take_columns_packed([a, b, c], idx, onehot_rows=256)
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(a[idx]))
     np.testing.assert_array_equal(np.asarray(rb), np.asarray(b[idx]))
     np.testing.assert_array_equal(np.asarray(rc), np.asarray(c[idx]))
