@@ -45,14 +45,22 @@ from pathtracerpython_tpu.ops.geometry import (
 )
 
 # Lane/sublane-aligned block sizes (f32 min tile is 8×128).
-R_BLK = 128   # rays per block (lanes)
+# R_BLK=256 measured ~4% faster end-to-end than 128 on the v5e (fewer grid
+# steps, same VMEM headroom); see docs/PERFORMANCE.md.
+R_BLK = 256   # rays per block (lanes)
 T_BLK = 512   # triangles per block (sublanes)
 
 BIG = 3.0e38  # python float, not a jnp constant — kernels close over it
 
-# Trace-time toggle for per-block AABB culling (pays off on big scenes,
-# pure predication overhead on tiny ones — see bench notes).
+# Trace-time toggle for per-block AABB culling. Predication around the
+# triangle loop inhibits Mosaic's load pipelining, so culling only pays
+# when there is more than one triangle block to skip — the wrappers gate
+# it on the block count automatically; this switch force-disables it.
 ENABLE_CULL = True
+
+
+def _use_cull(t_count: int) -> bool:
+    return ENABLE_CULL and t_count > T_BLK
 DET_EPS = 1e-7
 T_MIN = 1e-4  # forward near-clip, matches ops.geometry.intersect_moller
 
@@ -176,19 +184,15 @@ def _mt_block(tri_ref, o_ref, d_ref):
     return hit, t
 
 
-def _nearest_kernel(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
+def _nearest_init(t_out, idx_out):
+    @pl.when(pl.program_id(1) == 0)
     def _():
         t_out[:] = jnp.full_like(t_out, BIG)
         idx_out[:] = jnp.full_like(idx_out, -1)
 
-    if ENABLE_CULL:
-        aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
-        run_pred = nonempty & jnp.any(aabb_hit)
-    else:
-        run_pred = jnp.bool_(True)
+
+def _nearest_update(tri_ref, o_ref, d_ref, t_out, idx_out, run_pred):
+    j = pl.program_id(1)
 
     @pl.when(run_pred)
     def _():
@@ -210,19 +214,29 @@ def _nearest_kernel(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
         idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
 
 
-def _any_hit_kernel(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
-    j = pl.program_id(1)
+def _nearest_kernel_cull(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
+    _nearest_init(t_out, idx_out)  # BEFORE the cull reads t_out as bound
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
+    _nearest_update(
+        tri_ref, o_ref, d_ref, t_out, idx_out,
+        nonempty & jnp.any(aabb_hit),
+    )
 
-    @pl.when(j == 0)
+
+def _nearest_kernel_plain(tri_ref, o_ref, d_ref, t_out, idx_out):
+    # no AABB operand at all: the SMEM input + its producer ops add real
+    # per-launch overhead, so single-block sweeps never see them
+    _nearest_init(t_out, idx_out)
+    _nearest_update(tri_ref, o_ref, d_ref, t_out, idx_out, jnp.bool_(True))
+
+
+def _any_hit_init(occ_out):
+    @pl.when(pl.program_id(1) == 0)
     def _():
         occ_out[:] = jnp.zeros_like(occ_out)
 
-    if ENABLE_CULL:
-        aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
-        run_pred = nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5))
-    else:
-        run_pred = jnp.bool_(True)
 
+def _any_hit_update(tri_ref, o_ref, d_ref, maxd_ref, occ_out, run_pred):
     @pl.when(run_pred)
     def _():
         hit, t = _mt_block(tri_ref, o_ref, d_ref)
@@ -232,6 +246,22 @@ def _any_hit_kernel(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
             jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
         )
         occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+
+def _any_hit_kernel_cull(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
+    _any_hit_init(occ_out)  # BEFORE the predicate reads occ_out
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
+    _any_hit_update(
+        tri_ref, o_ref, d_ref, maxd_ref, occ_out,
+        nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5)),
+    )
+
+
+def _any_hit_kernel_plain(tri_ref, o_ref, d_ref, maxd_ref, occ_out):
+    _any_hit_init(occ_out)
+    _any_hit_update(
+        tri_ref, o_ref, d_ref, maxd_ref, occ_out, jnp.bool_(True)
+    )
 
 
 def _sweep_shapes(n, t):
@@ -260,11 +290,18 @@ def _nearest_t_idx(o3, d3, tripack):
     n = o3.shape[1]
     t = tripack.shape[0]
     grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(n, t)
-    aabbs = _block_aabbs(tripack, min(T_BLK, t))
+    if _use_cull(t):
+        kernel = _nearest_kernel_cull
+        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec]
+        args = (tripack, _block_aabbs(tripack, min(T_BLK, t)), o3, d3)
+    else:
+        kernel = _nearest_kernel_plain
+        in_specs = [tri_spec, ray_spec, ray_spec]
+        args = (tripack, o3, d3)
     t_out, idx_out = pl.pallas_call(
-        _nearest_kernel,
+        kernel,
         grid=grid,
-        in_specs=[tri_spec, aabb_spec, ray_spec, ray_spec],
+        in_specs=in_specs,
         out_specs=[out_spec, out_spec],
         out_shape=[
             jax.ShapeDtypeStruct((1, n), o3.dtype),
@@ -275,7 +312,7 @@ def _nearest_t_idx(o3, d3, tripack):
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tripack, aabbs, o3, d3)
+    )(*args)
     return t_out[0], idx_out[0]
 
 
@@ -366,14 +403,24 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
     grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(
         o3.shape[1], t_count
     )
-    aabbs = _block_aabbs(tripack, min(T_BLK, t_count))
     maxd_spec = pl.BlockSpec(
         (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
+    if _use_cull(t_count):
+        kernel = _any_hit_kernel_cull
+        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec]
+        args = (
+            tripack, _block_aabbs(tripack, min(T_BLK, t_count)), o3, d3,
+            maxd,
+        )
+    else:
+        kernel = _any_hit_kernel_plain
+        in_specs = [tri_spec, ray_spec, ray_spec, maxd_spec]
+        args = (tripack, o3, d3, maxd)
     occ = pl.pallas_call(
-        _any_hit_kernel,
+        kernel,
         grid=grid,
-        in_specs=[tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec],
+        in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, o3.shape[1]), origin.dtype),
         cost_estimate=pl.CostEstimate(
@@ -382,5 +429,5 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
             transcendentals=0,
         ),
         interpret=_interpret(),
-    )(tripack, aabbs, o3, d3, maxd)
+    )(*args)
     return occ[0, :n] > 0.5

@@ -52,7 +52,16 @@ def take_rows(table: jax.Array, idx: jax.Array,
 def take_columns_packed(tables: list[jax.Array], idx: jax.Array,
                         onehot_rows: int | None = None) -> list[jax.Array]:
     """Look up the same rows of several [R, ...] float tables with ONE
-    matmul: concatenates columns, takes rows, splits back."""
+    matmul: concatenates columns, takes rows, splits back.
+
+    In gather mode (table too big / one-hot disabled) this does SEPARATE
+    direct gathers — packing + re-slicing materializes intermediates that
+    XLA otherwise fuses straight into consumers (measured ~20% end-to-end
+    regression on the TPU render when packed)."""
+    if onehot_rows is None:
+        onehot_rows = ONEHOT_ROWS
+    if tables[0].shape[0] > onehot_rows:
+        return [t[idx] for t in tables]
     cols = []
     shapes = []
     for t in tables:

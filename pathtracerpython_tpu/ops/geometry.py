@@ -97,10 +97,23 @@ def intersect_moller(origin, direction, v0, v1, v2, eps: float = 1e-7):
 
 
 def resolve_hit_attributes(scene: SceneArrays, tri_idx, found):
-    """(normal, material, is_light) for winning triangle indices — via one
-    packed one-hot matmul for small scenes (ops.gather) instead of three
-    per-ray gathers, which dominate the bounce cost on TPU."""
-    from pathtracerpython_tpu.ops.gather import take_columns_packed
+    """(normal, material, is_light) for winning triangle indices.
+
+    Plain direct gathers by default (XLA fuses them into consumers — the
+    fastest path measured end-to-end); the packed one-hot matmul variant
+    engages only when ops.gather.ONEHOT_ROWS is raised above the scene's
+    triangle count (a knob, see gather.py notes)."""
+    from pathtracerpython_tpu.ops.gather import (
+        ONEHOT_ROWS,
+        take_columns_packed,
+    )
+
+    if scene.tri_normal.shape[0] > ONEHOT_ROWS:
+        return (
+            scene.tri_normal[tri_idx],
+            scene.tri_material[tri_idx],
+            scene.tri_is_light[tri_idx] & found,
+        )
 
     f = scene.tri_normal.dtype
     normal, matf, lightf = take_columns_packed(
@@ -346,10 +359,5 @@ def first_occluder_index(
     init = jnp.full(origin.shape[0], IMAX, jnp.int32)
     best = _sweep_tiles(T, tile, body, init)
     found = best != IMAX
-    from pathtracerpython_tpu.ops.gather import take_rows
-
-    material = take_rows(
-        scene.tri_material.astype(scene.tri_v0.dtype)[:, None],
-        jnp.where(found, best, 0),
-    )[..., 0].astype(jnp.int32)
+    material = scene.tri_material[jnp.where(found, best, 0)]
     return jnp.where(found, best, -1), jnp.where(found, material, 0)

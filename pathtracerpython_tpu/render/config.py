@@ -27,6 +27,8 @@ class RenderConfig:
     tile: int = 128           # triangle-tile width for intersection sweeps
     backend: str = "xla"      # "xla" | "pallas" nearest/any-hit sweeps
     remat_bounces: bool = False  # jax.checkpoint each bounce (for deep grads)
+    batch_samples: bool = False  # all spp in one wavefront (fewer kernel
+    #                              launches, n_samples x the live ray state)
     # Geometry-ring sharding (parallel/ring.py): when geom_axis names a mesh
     # axis the integrator is running under (via shard_map), the per-triangle
     # buffers are shard-local and intersection sweeps ppermute them around

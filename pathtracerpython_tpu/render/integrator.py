@@ -83,7 +83,16 @@ class Materials(NamedTuple):
 
 
 def resolve_materials(scene: SceneArrays, material) -> Materials:
-    from pathtracerpython_tpu.ops.gather import take_columns_packed
+    from pathtracerpython_tpu.ops.gather import ONEHOT_ROWS, take_columns_packed
+
+    if scene.mat_rgb.shape[0] > ONEHOT_ROWS:
+        return Materials(
+            rgb=scene.mat_rgb[material],
+            ka=scene.mat_ka[material],
+            kd=scene.mat_kd[material],
+            ks=scene.mat_ks[material],
+            n=scene.mat_n[material],
+        )
 
     rgb, ka, kd, ks, n = take_columns_packed(
         [
@@ -318,10 +327,15 @@ def init_rays(
 
     Keys are fold_in(fold_in(base, pixel_id), sample) — pixel_ids are GLOBAL
     pixel indices, so a sharded render draws the identical stream.
+    ``sample_idx`` may be a scalar (one sample pass) or a per-lane array
+    (sample-batched mode) — the key stream is identical either way.
     """
     n = origins.shape[0]
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(base_key, pixel_ids)
-    keys = _vm_fold(keys, sample_idx)
+    if jnp.ndim(sample_idx) == 0:
+        keys = _vm_fold(keys, sample_idx)
+    else:
+        keys = jax.vmap(jax.random.fold_in)(keys, sample_idx)
     return RayState(
         origin=origins,
         direction=directions,
@@ -339,22 +353,47 @@ def render_rays(
 ) -> jax.Array:
     """Trace the given primary rays; return radiance [N, 3] (mean over
     ``cfg.n_samples`` sample passes). This is the shard-local entry point —
-    ``parallel.shard`` calls it on a slice of pixels with global ids."""
+    ``parallel.shard`` calls it on a slice of pixels with global ids.
 
-    def one_sample(carry, sample_idx):
-        state = init_rays(origins, directions, pixel_ids, sample_idx, base_key)
+    Two execution plans with IDENTICAL results (RNG keys depend only on
+    (pixel, sample)):
+    - sequential (default): lax.scan over samples — minimal memory;
+    - ``cfg.batch_samples``: all samples ride the wavefront as extra lanes
+      — n_samples× fewer kernel launches, n_samples× the live state.
+    """
+    n = origins.shape[0]
 
+    def bounce_sweep(state):
         def body(st, b):
             return bounce_step(st, b, scene, cfg), None
 
         if cfg.remat_bounces:
             body = jax.checkpoint(body)
-        state = lax.scan(body, state, jnp.arange(cfg.n_bounces))[0]
+        return lax.scan(body, state, jnp.arange(cfg.n_bounces))[0]
+
+    if cfg.batch_samples and cfg.n_samples > 1:
+        s = cfg.n_samples
+        rep = lambda x: jnp.concatenate([x] * s, axis=0)
+        sample_idx = jnp.repeat(
+            jnp.arange(s, dtype=jnp.int32), n
+        )
+        state = init_rays(
+            rep(origins), rep(directions), rep(pixel_ids), sample_idx,
+            base_key,
+        )
+        state = bounce_sweep(state)
+        return jnp.mean(
+            state.radiance.reshape(s, n, 3), axis=0
+        )
+
+    def one_sample(carry, sample_idx):
+        state = init_rays(origins, directions, pixel_ids, sample_idx, base_key)
+        state = bounce_sweep(state)
         return carry + state.radiance, None
 
     total = lax.scan(
         one_sample,
-        jnp.zeros((origins.shape[0], 3), origins.dtype),
+        jnp.zeros((n, 3), origins.dtype),
         jnp.arange(cfg.n_samples),
     )[0]
     return total / cfg.n_samples

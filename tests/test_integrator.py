@@ -79,3 +79,15 @@ def test_image_output(cornell_scene):
     assert img.shape == (40, 40, 3) and img.dtype == np.uint8
     assert img.max() == 255  # min-max normalization hits the full range
     assert img.min() == 0
+
+
+def test_batch_samples_matches_sequential(cornell_scene):
+    """Sample-batched execution must be bit-equivalent to the sample scan
+    (same RNG stream per (pixel, sample))."""
+    import dataclasses
+
+    cfg = RenderConfig(mode="fast", n_samples=3, n_bounces=2)
+    cfg_b = dataclasses.replace(cfg, batch_samples=True)
+    a = np.asarray(render(cornell_scene, cfg, seed=6))
+    b = np.asarray(render(cornell_scene, cfg_b, seed=6))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
