@@ -45,9 +45,11 @@ from pathtracerpython_tpu.ops.geometry import (
 )
 
 # Lane/sublane-aligned block sizes (f32 min tile is 8×128).
-# R_BLK=256 measured ~4% faster end-to-end than 128 on the v5e (fewer grid
-# steps, same VMEM headroom); see docs/PERFORMANCE.md.
-R_BLK = 256   # rays per block (lanes)
+# Measured end-to-end on the v5e: R_BLK 128 -> 256 -> 512 gives
+# 44.9 -> 46.8 -> 47.7 Mrays/s on the Cornell bench and 270 -> 191 ms per
+# 100k-triangle sweep ([512, 512] f32 intermediates ≈ 1 MB each still fit
+# VMEM). See docs/PERFORMANCE.md.
+R_BLK = 512   # rays per block (lanes)
 T_BLK = 512   # triangles per block (sublanes)
 
 BIG = 3.0e38  # python float, not a jnp constant — kernels close over it
