@@ -345,6 +345,73 @@ def _nearest_bwd(res, cots):
 _nearest_t_idx.defvjp(_nearest_fwd, _nearest_bwd)
 
 
+def nearest_t_idx_cm(o3, d3_unit, scene):
+    """Component-major kernel entry: o3/d3_unit f32[3, N] (N unpadded).
+    Returns (t [N] — 0 on miss, idx [N] — -1 on miss). No transposes: the
+    kernel layout IS the caller's layout."""
+    n = o3.shape[1]
+    o3p = _pad_dim(o3, R_BLK, axis=1, value=1e6)
+    d3p = _pad_dim(d3_unit, R_BLK, axis=1, value=1.0)
+    tripack = pack_triangles(
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_valid, scene.tri_occluder,
+    )
+    tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
+    t, idx = _nearest_t_idx(o3p, d3p, tripack)
+    t, idx = t[:n], idx[:n]
+    return jnp.where(idx >= 0, t, 0.0), idx
+
+
+def any_hit_pallas_cm(o3, d3_unit, max_dist, scene):
+    """Component-major any-hit: o3/d3_unit f32[3, M], max_dist [M]."""
+    n = o3.shape[1]
+    sg = lax.stop_gradient
+    o3p = _pad_dim(sg(o3), R_BLK, axis=1, value=1e6)
+    d3p = _pad_dim(sg(d3_unit), R_BLK, axis=1, value=1.0)
+    maxd = _pad_dim(sg(max_dist)[None, :], R_BLK, axis=1)
+    tripack = pack_triangles(
+        sg(scene.tri_v0), sg(scene.tri_v1), sg(scene.tri_v2),
+        scene.tri_valid, scene.tri_occluder,
+    )
+    tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
+    return _any_hit_call(tripack, o3p, d3p, maxd)[:n]
+
+
+def _any_hit_call(tripack, o3, d3, maxd):
+    t_count = tripack.shape[0]
+    grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(
+        o3.shape[1], t_count
+    )
+    maxd_spec = pl.BlockSpec(
+        (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+    )
+    if _use_cull(t_count):
+        kernel = _any_hit_kernel_cull
+        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec]
+        args = (
+            tripack, _block_aabbs(tripack, min(T_BLK, t_count)), o3, d3,
+            maxd,
+        )
+    else:
+        kernel = _any_hit_kernel_plain
+        in_specs = [tri_spec, ray_spec, ray_spec, maxd_spec]
+        args = (tripack, o3, d3, maxd)
+    occ = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((1, o3.shape[1]), o3.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=60 * o3.shape[1] * t_count,
+            bytes_accessed=(o3.shape[1] * 7 + t_count * 12) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(*args)
+    return occ[0] > 0.5
+
+
 def nearest_hit_pallas(origin, direction, scene) -> NearestHit:
     """Drop-in fast-mode replacement for ``ops.geometry.nearest_hit``."""
     n = origin.shape[0]
@@ -387,49 +454,7 @@ def any_hit_pallas(origin, direction, max_dist, scene) -> jax.Array:
 
     Occlusion is binary → detached from the autodiff graph (visibility
     gradients are boundary terms, handled elsewhere), hence the
-    stop_gradient on every operand.
+    stop_gradient inside the cm entry.
     """
-    n = origin.shape[0]
     d_unit = safe_normalize(direction)
-    sg = lax.stop_gradient
-    o3 = _pad_dim(sg(origin).T, R_BLK, axis=1, value=1e6)
-    d3 = _pad_dim(sg(d_unit).T, R_BLK, axis=1, value=1.0)
-    maxd = _pad_dim(sg(max_dist)[None, :], R_BLK, axis=1)
-    tripack = pack_triangles(
-        sg(scene.tri_v0), sg(scene.tri_v1), sg(scene.tri_v2),
-        scene.tri_valid, scene.tri_occluder,
-    )
-    tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
-
-    t_count = tripack.shape[0]
-    grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(
-        o3.shape[1], t_count
-    )
-    maxd_spec = pl.BlockSpec(
-        (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
-    )
-    if _use_cull(t_count):
-        kernel = _any_hit_kernel_cull
-        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec]
-        args = (
-            tripack, _block_aabbs(tripack, min(T_BLK, t_count)), o3, d3,
-            maxd,
-        )
-    else:
-        kernel = _any_hit_kernel_plain
-        in_specs = [tri_spec, ray_spec, ray_spec, maxd_spec]
-        args = (tripack, o3, d3, maxd)
-    occ = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((1, o3.shape[1]), origin.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=60 * o3.shape[1] * t_count,
-            bytes_accessed=(o3.shape[1] * 7 + t_count * 12) * 4,
-            transcendentals=0,
-        ),
-        interpret=_interpret(),
-    )(*args)
-    return occ[0, :n] > 0.5
+    return any_hit_pallas_cm(origin.T, d_unit.T, max_dist, scene)

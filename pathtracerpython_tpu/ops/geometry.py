@@ -304,6 +304,84 @@ def any_hit_within(
 IMAX = 2**31 - 1
 
 
+def normalize3(v3, eps: float = 1e-30):
+    """Normalize along axis 0 of a component-major [3, ...] array."""
+    sq = jnp.sum(v3 * v3, axis=0, keepdims=True)
+    return v3 * lax.rsqrt(jnp.maximum(sq, eps))
+
+
+class NearestHitCM(NamedTuple):
+    """Component-major nearest-hit record: vectors are [3, N].
+
+    The integrator's working layout (see render/integrator.py): minor-dim-
+    dense on TPU, and the layout the Pallas kernels natively consume."""
+
+    hit: jax.Array       # bool[N]
+    t: jax.Array         # f[N]
+    tri_idx: jax.Array   # i32[N]
+    point3: jax.Array    # f[3, N]
+    normal3: jax.Array   # f[3, N]
+    material: jax.Array  # i32[N]
+    is_light: jax.Array  # bool[N]
+
+
+def nearest_hit_cm(
+    o3, d3, scene: SceneArrays,
+    mode: str = "fast", tile: int = 128, backend: str = "xla",
+    geom_axis: str | None = None, geom_axis_size: int = 0,
+) -> NearestHitCM:
+    """Component-major closest hit. Fast+pallas path is transpose-free;
+    other paths adapt through the row-major sweeps (correctness paths)."""
+    if backend == "pallas" and mode == "fast" and geom_axis is None:
+        from pathtracerpython_tpu.kernels.intersect_pallas import (
+            nearest_t_idx_cm,
+        )
+
+        d3u = normalize3(d3)
+        t, idx = nearest_t_idx_cm(o3, d3u, scene)
+        found = idx >= 0
+        safe_idx = jnp.maximum(idx, 0)
+        point3 = o3 + d3u * t[None, :]
+        normal3 = scene.tri_normal.T[:, safe_idx]
+        return NearestHitCM(
+            hit=found,
+            t=t,
+            tri_idx=safe_idx,
+            point3=point3,
+            normal3=normal3,
+            material=scene.tri_material[safe_idx],
+            is_light=scene.tri_is_light[safe_idx] & found,
+        )
+
+    hit = nearest_hit(
+        o3.T, d3.T, scene, mode=mode, tile=tile, backend=backend,
+        geom_axis=geom_axis, geom_axis_size=geom_axis_size,
+    )
+    return NearestHitCM(
+        hit=hit.hit, t=hit.t, tri_idx=hit.tri_idx,
+        point3=hit.point.T, normal3=hit.normal.T,
+        material=hit.material, is_light=hit.is_light,
+    )
+
+
+def any_hit_within_cm(
+    o3, d3_unit, max_dist, scene: SceneArrays,
+    mode: str = "fast", tile: int = 128, backend: str = "xla",
+    geom_axis: str | None = None, geom_axis_size: int = 0,
+) -> jax.Array:
+    """Component-major shadow occlusion; ``d3_unit`` must be normalized."""
+    if backend == "pallas" and mode == "fast" and geom_axis is None:
+        from pathtracerpython_tpu.kernels.intersect_pallas import (
+            any_hit_pallas_cm,
+        )
+
+        return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)
+    return any_hit_within(
+        o3.T, d3_unit.T, max_dist, scene, mode=mode, tile=tile,
+        backend=backend, geom_axis=geom_axis, geom_axis_size=geom_axis_size,
+    )
+
+
 def first_occluder_index(
     origin: jax.Array,
     direction: jax.Array,

@@ -136,3 +136,92 @@ def reflect(direction: jax.Array, normal: jax.Array) -> jax.Array:
     negation (``main.py:254-256``), see the integrator's reference path.
     """
     return direction - 2.0 * jnp.sum(direction * normal, axis=-1, keepdims=True) * normal
+
+
+# ---------------------------------------------------------------------------
+# Component-major (axis-0 xyz) variants — the integrator's working layout.
+# Same math as the row-major functions above; [3, ...] instead of [..., 3]
+# keeps the minor dim dense on TPU (see docs/PERFORMANCE.md).
+# ---------------------------------------------------------------------------
+
+
+def cm_normalize(v3, eps: float = 1e-30):
+    sq = jnp.sum(v3 * v3, axis=0, keepdims=True)
+    return v3 * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
+def cm_dot(a3, b3):
+    return jnp.sum(a3 * b3, axis=0)
+
+
+def cm_cross(a3, b3):
+    return jnp.stack([
+        a3[1] * b3[2] - a3[2] * b3[1],
+        a3[2] * b3[0] - a3[0] * b3[2],
+        a3[0] * b3[1] - a3[1] * b3[0],
+    ])
+
+
+def cm_sample_barycentric_reference(u3):
+    """u3 [3, ...] → barycentrics [3, ...] (reference: normalized uniforms)."""
+    return u3 / jnp.sum(u3, axis=0, keepdims=True)
+
+
+def cm_sample_barycentric_uniform(u2):
+    """u2 [2, ...] → [3, ...] uniform over the triangle (sqrt trick)."""
+    su = jnp.sqrt(u2[0])
+    return jnp.stack([1.0 - su, su * (1.0 - u2[1]), su * u2[1]])
+
+
+def cm_point_from_barycentric(bary, v0, v1, v2):
+    """All [3, ...]: bary-weighted combination."""
+    return bary[0][None] * v0 + bary[1][None] * v1 + bary[2][None] * v2
+
+
+def cm_cosine_hemisphere_reference(u2):
+    """Reference canonical cosine sample (main.py:242-246): [3, ...]."""
+    phi = jnp.arccos(jnp.sqrt(u2[0]))
+    theta = TAU_REFERENCE * u2[1]
+    sp = jnp.sin(phi)
+    return jnp.stack([sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi)])
+
+
+def cm_rotate_frame_reference(v3, n3):
+    """Reference y-axis frame rotation (main.py:248-261), component-major."""
+    angle = jnp.arccos(jnp.clip(n3[1], -1.0, 1.0))
+    a = jnp.cos(angle / 2.0)
+    c = -jnp.sin(angle / 2.0)
+    aa_cc = a * a - c * c
+    two_ac = 2.0 * a * c
+    # R @ v for axis (0,1,0): rows [aa-cc, 0, -2ac], [0, 1, 0], [2ac, 0, aa-cc]
+    return jnp.stack([
+        aa_cc * v3[0] - two_ac * v3[2],
+        v3[1],
+        two_ac * v3[0] + aa_cc * v3[2],
+    ])
+
+
+def cm_build_onb(n3):
+    """Branchless ONB (Duff et al. 2017), component-major."""
+    sign = jnp.where(n3[2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n3[2])
+    b = n3[0] * n3[1] * a
+    t3 = jnp.stack([1.0 + sign * n3[0] ** 2 * a, sign * b, -sign * n3[0]])
+    b3 = jnp.stack([b, sign + n3[1] ** 2 * a, -n3[1]])
+    return t3, b3
+
+
+def cm_cosine_hemisphere_fixed(u2, n3):
+    """Cosine-weighted hemisphere about n3; u2 [2, ...], n3 [3, ...]."""
+    r = jnp.sqrt(u2[0])
+    theta = TAU * u2[1]
+    x = r * jnp.cos(theta)
+    y = r * jnp.sin(theta)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u2[0]))
+    t3, b3 = cm_build_onb(n3)
+    return cm_normalize(x[None] * t3 + y[None] * b3 + z[None] * n3)
+
+
+def cm_reflect(d3, n3):
+    """Mirror reflection of an incoming direction, component-major."""
+    return d3 - 2.0 * cm_dot(d3, n3)[None] * n3

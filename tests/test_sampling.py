@@ -120,3 +120,43 @@ def test_reflect():
     n = jnp.asarray([[0.0, 1.0, 0.0]])
     r = np.asarray(sampling.reflect(d, n))
     np.testing.assert_allclose(r, [[1.0, 1.0, 0.0]], atol=1e-6)
+
+
+def test_cm_variants_match_row_major():
+    """Component-major sampling functions == row-major on transposed data."""
+    import jax
+    import jax.numpy as jnp
+    from pathtracerpython_tpu.ops import sampling as S
+
+    key = jax.random.PRNGKey(0)
+    n = 257
+    u3 = jax.random.uniform(key, (n, 3), minval=0.01, maxval=0.99)
+    u2 = u3[:, :2]
+    nrm = S.safe_normalize(jax.random.normal(jax.random.fold_in(key, 1), (n, 3)))
+    v = S.safe_normalize(jax.random.normal(jax.random.fold_in(key, 2), (n, 3)))
+
+    np.testing.assert_allclose(
+        np.asarray(S.cm_sample_barycentric_reference(u3.T)),
+        np.asarray(S.sample_barycentric_reference(u3)).T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(S.cm_sample_barycentric_uniform(u2.T)),
+        np.asarray(S.sample_barycentric_uniform(u2)).T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(S.cm_cosine_hemisphere_reference(u2.T)),
+        np.asarray(S.cosine_hemisphere_reference(u2)).T, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(S.cm_rotate_frame_reference(v.T, nrm.T)),
+        np.asarray(S.rotate_frame_reference(v, nrm)).T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(S.cm_cosine_hemisphere_fixed(u2.T, nrm.T)),
+        np.asarray(S.cosine_hemisphere_fixed(u2, nrm)).T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(S.cm_reflect(v.T, nrm.T)),
+        np.asarray(S.reflect(v, nrm)).T, rtol=1e-6, atol=1e-7)
+    b = S.sample_barycentric_uniform(u2)
+    v0, v1, v2 = (jax.random.normal(jax.random.fold_in(key, i), (n, 3))
+                  for i in (3, 4, 5))
+    np.testing.assert_allclose(
+        np.asarray(S.cm_point_from_barycentric(b.T, v0.T, v1.T, v2.T)),
+        np.asarray(S.point_from_barycentric(b, v0, v1, v2)).T, rtol=1e-6,
+        atol=1e-6)
