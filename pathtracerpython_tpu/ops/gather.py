@@ -49,6 +49,30 @@ def take_rows(table: jax.Array, idx: jax.Array,
     return out.reshape(idx.shape + table.shape[1:])
 
 
+def cm_take(table_cm: jax.Array, idx: jax.Array,
+            onehot_rows: int = 128) -> jax.Array:
+    """Component-major lookup: table_cm [C, R] indexed by ``idx`` of any
+    shape → [C, *idx.shape], minor-dim DENSE.
+
+    The row-major gather ``table.T[:, idx]`` materializes a [K, C] result
+    with C (=3) padded to 128 lanes — profiling showed those intermediates
+    dominating the render. For small R this is instead a [C, R] @ [R, K]
+    one-hot matmul whose output is born in the dense layout; large R falls
+    back to the gather (big-scene path, already kernel-dominated).
+    """
+    c, r = table_cm.shape
+    flat = idx.reshape(-1)
+    if r > onehot_rows:
+        out = table_cm[:, flat]
+    else:
+        onehot = (
+            flat[None, :] == jnp.arange(r, dtype=flat.dtype)[:, None]
+        ).astype(table_cm.dtype)
+        out = jnp.dot(table_cm, onehot,
+                      preferred_element_type=table_cm.dtype)
+    return out.reshape((c,) + idx.shape)
+
+
 def take_columns_packed(tables: list[jax.Array], idx: jax.Array,
                         onehot_rows: int | None = None) -> list[jax.Array]:
     """Look up the same rows of several [R, ...] float tables with ONE

@@ -337,12 +337,14 @@ def nearest_hit_cm(
             nearest_t_idx_cm,
         )
 
+        from pathtracerpython_tpu.ops.gather import cm_take
+
         d3u = normalize3(d3)
         t, idx = nearest_t_idx_cm(o3, d3u, scene)
         found = idx >= 0
         safe_idx = jnp.maximum(idx, 0)
         point3 = o3 + d3u * t[None, :]
-        normal3 = scene.tri_normal.T[:, safe_idx]
+        normal3 = cm_take(scene.tri_normal.T, safe_idx)
         return NearestHitCM(
             hit=found,
             t=t,

@@ -93,12 +93,16 @@ class Materials(NamedTuple):
 
 
 def resolve_materials(scene: SceneArrays, material) -> Materials:
+    from pathtracerpython_tpu.ops.gather import cm_take
+
+    rgb3 = cm_take(scene.mat_rgb.T, material)
+    scalars = cm_take(
+        jnp.stack([scene.mat_ka, scene.mat_kd, scene.mat_ks, scene.mat_n]),
+        material,
+    )
     return Materials(
-        rgb3=scene.mat_rgb.T[:, material],
-        ka=scene.mat_ka[material],
-        kd=scene.mat_kd[material],
-        ks=scene.mat_ks[material],
-        n=scene.mat_n[material],
+        rgb3=rgb3,
+        ka=scalars[0], kd=scalars[1], ks=scalars[2], n=scalars[3],
     )
 
 
@@ -143,10 +147,17 @@ def shade_nee(
         )
     else:
         bary = cm_sample_barycentric_uniform(jnp.moveaxis(u[:, 1:3], 1, 0))
-    lv0 = scene.light_v0.T[:, tri]  # [3, S, N]
-    lv1 = scene.light_v1.T[:, tri]
-    lv2 = scene.light_v2.T[:, tri]
-    light_pt3 = cm_point_from_barycentric(bary, lv0, lv1, lv2)  # [3, S, N]
+    from pathtracerpython_tpu.ops.gather import cm_take
+
+    lv = cm_take(
+        jnp.concatenate(
+            [scene.light_v0.T, scene.light_v1.T, scene.light_v2.T]
+        ),
+        tri,
+    )  # [9, S, N]
+    light_pt3 = cm_point_from_barycentric(
+        bary, lv[0:3], lv[3:6], lv[6:9]
+    )  # [3, S, N]
 
     vec3 = light_pt3 - point3[:, None, :]
     # sqrt(x + tiny), not a bare norm: lanes shading ON the light have
@@ -180,7 +191,7 @@ def shade_nee(
         quirk_mat = jnp.where(
             occ_idx >= 0, occ_mat, scene.meta.n_objects - 1
         )
-        direct_rgb3 = scene.mat_rgb.T[:, quirk_mat]
+        direct_rgb3 = cm_take(scene.mat_rgb.T, quirk_mat)
     else:
         direct_rgb3 = mat.rgb3
 
