@@ -45,12 +45,19 @@ from pathtracerpython_tpu.ops.geometry import (
 )
 
 # Lane/sublane-aligned block sizes (f32 min tile is 8×128).
-# Measured end-to-end on the v5e: R_BLK 128 -> 256 -> 512 gives
-# 44.9 -> 46.8 -> 47.7 Mrays/s on the Cornell bench and 270 -> 191 ms per
-# 100k-triangle sweep ([512, 512] f32 intermediates ≈ 1 MB each still fit
-# VMEM). See docs/PERFORMANCE.md.
-R_BLK = 512   # rays per block (lanes)
+# Measured end-to-end on the v5e: wider ray blocks amortize per-grid-step
+# overhead (128 -> 512 lanes: 44.9 -> 47.7 Mrays/s; small scenes gain
+# another ~6% at 2048). VMEM bounds the product: [T_BLK, R_BLK] f32
+# intermediates x ~12 live must stay well under 16 MB, so tiny-T scenes
+# get the widest blocks and big-T scenes stay at 512. See
+# docs/PERFORMANCE.md.
+R_BLK = 512   # rays per block (lanes) for large triangle blocks
+R_BLK_SMALL = 2048  # rays per block when T <= 64 (block product bounded)
 T_BLK = 512   # triangles per block (sublanes)
+
+
+def _r_blk(t_count: int) -> int:
+    return R_BLK_SMALL if t_count <= 64 else R_BLK
 
 BIG = 3.0e38  # python float, not a jnp constant — kernels close over it
 
@@ -267,7 +274,8 @@ def _any_hit_kernel_plain(tri_ref, o_ref, d_ref, maxd_ref, occ_out):
 
 
 def _sweep_shapes(n, t):
-    grid = (pl.cdiv(n, R_BLK), pl.cdiv(t, T_BLK))
+    r_blk = _r_blk(t)
+    grid = (pl.cdiv(n, r_blk), pl.cdiv(t, T_BLK))
     tri_spec = pl.BlockSpec(
         (min(T_BLK, t), 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM
     )
@@ -275,10 +283,10 @@ def _sweep_shapes(n, t):
         (1, 1, 8), lambda i, j: (j, 0, 0), memory_space=pltpu.SMEM
     )
     ray_spec = pl.BlockSpec(
-        (3, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        (3, r_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
-        (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        (1, r_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
     return grid, tri_spec, aabb_spec, ray_spec, out_spec
 
@@ -350,13 +358,14 @@ def nearest_t_idx_cm(o3, d3_unit, scene):
     Returns (t [N] — 0 on miss, idx [N] — -1 on miss). No transposes: the
     kernel layout IS the caller's layout."""
     n = o3.shape[1]
-    o3p = _pad_dim(o3, R_BLK, axis=1, value=1e6)
-    d3p = _pad_dim(d3_unit, R_BLK, axis=1, value=1.0)
     tripack = pack_triangles(
         scene.tri_v0, scene.tri_v1, scene.tri_v2,
         scene.tri_valid, scene.tri_occluder,
     )
     tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
+    r_blk = _r_blk(tripack.shape[0])
+    o3p = _pad_dim(o3, r_blk, axis=1, value=1e6)
+    d3p = _pad_dim(d3_unit, r_blk, axis=1, value=1.0)
     t, idx = _nearest_t_idx(o3p, d3p, tripack)
     t, idx = t[:n], idx[:n]
     return jnp.where(idx >= 0, t, 0.0), idx
@@ -366,14 +375,15 @@ def any_hit_pallas_cm(o3, d3_unit, max_dist, scene):
     """Component-major any-hit: o3/d3_unit f32[3, M], max_dist [M]."""
     n = o3.shape[1]
     sg = lax.stop_gradient
-    o3p = _pad_dim(sg(o3), R_BLK, axis=1, value=1e6)
-    d3p = _pad_dim(sg(d3_unit), R_BLK, axis=1, value=1.0)
-    maxd = _pad_dim(sg(max_dist)[None, :], R_BLK, axis=1)
     tripack = pack_triangles(
         sg(scene.tri_v0), sg(scene.tri_v1), sg(scene.tri_v2),
         scene.tri_valid, scene.tri_occluder,
     )
     tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
+    r_blk = _r_blk(tripack.shape[0])
+    o3p = _pad_dim(sg(o3), r_blk, axis=1, value=1e6)
+    d3p = _pad_dim(sg(d3_unit), r_blk, axis=1, value=1.0)
+    maxd = _pad_dim(sg(max_dist)[None, :], r_blk, axis=1)
     return _any_hit_call(tripack, o3p, d3p, maxd)[:n]
 
 
@@ -383,7 +393,7 @@ def _any_hit_call(tripack, o3, d3, maxd):
         o3.shape[1], t_count
     )
     maxd_spec = pl.BlockSpec(
-        (1, R_BLK), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        (1, _r_blk(t_count)), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
     if _use_cull(t_count):
         kernel = _any_hit_kernel_cull
@@ -416,16 +426,17 @@ def nearest_hit_pallas(origin, direction, scene) -> NearestHit:
     """Drop-in fast-mode replacement for ``ops.geometry.nearest_hit``."""
     n = origin.shape[0]
     d_unit = safe_normalize(direction)
-    # ray padding: far origin + unit-ish dir so padded lanes cleanly miss
-    # every AABB and triangle (a zero direction would pass the slab test
-    # and defeat block skipping)
-    o3 = _pad_dim(origin.T, R_BLK, axis=1, value=1e6)
-    d3 = _pad_dim(d_unit.T, R_BLK, axis=1, value=1.0)
     tripack = pack_triangles(
         scene.tri_v0, scene.tri_v1, scene.tri_v2,
         scene.tri_valid, scene.tri_occluder,
     )
     tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
+    # ray padding: far origin + unit-ish dir so padded lanes cleanly miss
+    # every AABB and triangle (a zero direction would pass the slab test
+    # and defeat block skipping)
+    r_blk = _r_blk(tripack.shape[0])
+    o3 = _pad_dim(origin.T, r_blk, axis=1, value=1e6)
+    d3 = _pad_dim(d_unit.T, r_blk, axis=1, value=1.0)
 
     t, idx = _nearest_t_idx(o3, d3, tripack)
     t, idx = t[:n], idx[:n]
