@@ -119,18 +119,15 @@ def _block_aabbs(tripack: jax.Array, block: int) -> jax.Array:
     )[:, None, :]
 
 
-def _aabb_cull(aabb_ref, o_ref, d_ref, tmin_bound):
-    """Slab test of the block's AABB against the ray block.
-
-    Returns (per-ray hit [1, R], block_nonempty scalar). ``tmin_bound``
-    [1, R]: entries farther than this (current best / light distance)
-    can't improve, so they don't keep the block alive.
-    """
+def _aabb_cull_rows(aabb_ref, o_rows, d_rows, tmin_bound):
+    """Slab test with explicit per-component [1, R] rows (used by kernels
+    whose ray data lives in scratch, where multi-row sublane slices would
+    violate Mosaic's 8-alignment)."""
     enter = None
     exit_ = None
     for k in range(3):
-        o_k = o_ref[k:k + 1, :]
-        d_k = d_ref[k:k + 1, :]
+        o_k = o_rows[k]
+        d_k = d_rows[k]
         safe_d = jnp.where(
             jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
         )
@@ -148,17 +145,23 @@ def _aabb_cull(aabb_ref, o_ref, d_ref, tmin_bound):
     return hit, nonempty
 
 
-def _mt_block(tri_ref, o_ref, d_ref):
-    """Möller–Trumbore for one [T_BLK triangles × R_BLK rays] block.
+def _aabb_cull(aabb_ref, o_ref, d_ref, tmin_bound):
+    """Slab test of the block's AABB against the ray block ([3, R] refs)."""
+    return _aabb_cull_rows(
+        aabb_ref,
+        [o_ref[k:k + 1, :] for k in range(3)],
+        [d_ref[k:k + 1, :] for k in range(3)],
+        tmin_bound,
+    )
+
+
+def _mt_rows(tri_ref, ox, oy, oz, dx, dy, dz):
+    """Möller–Trumbore with explicit per-component [1, R] ray rows.
 
     Returns (hit [T,R] bool, t [T,R]); ``hit`` includes the valid-lane mask
     (column 9 of the pack) but NOT the occluder mask.
     """
     col = lambda c: tri_ref[:, c:c + 1]          # [T, 1]
-    row = lambda ref, c: ref[c:c + 1, :]         # [1, R]
-
-    ox, oy, oz = row(o_ref, 0), row(o_ref, 1), row(o_ref, 2)
-    dx, dy, dz = row(d_ref, 0), row(d_ref, 1), row(d_ref, 2)
 
     v0x, v0y, v0z = col(0), col(1), col(2)
     e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
@@ -191,6 +194,15 @@ def _mt_block(tri_ref, o_ref, d_ref):
         & valid
     )
     return hit, t
+
+
+def _mt_block(tri_ref, o_ref, d_ref):
+    """Möller–Trumbore for one [T_BLK x R_BLK] block ([3, R] ray refs)."""
+    row = lambda ref, c: ref[c:c + 1, :]
+    return _mt_rows(
+        tri_ref, row(o_ref, 0), row(o_ref, 1), row(o_ref, 2),
+        row(d_ref, 0), row(d_ref, 1), row(d_ref, 2),
+    )
 
 
 def _nearest_init(t_out, idx_out):

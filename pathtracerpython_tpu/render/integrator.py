@@ -139,6 +139,19 @@ def shade_nee(
     n = hit.point3.shape[1]
     point3 = hit.point3
 
+    if (cfg.mode == "fast" and cfg.backend == "pallas"
+            and cfg.geom_axis is None):
+        # fused megakernel: sampling + occlusion sweep + cosine mean in one
+        # launch (same uniforms, same estimator; kernels/nee_pallas.py)
+        from pathtracerpython_tpu.kernels.nee_pallas import nee_mean_cos_fused
+
+        mean_cos = nee_mean_cos_fused(
+            point3, hit.normal3, u, scene, s
+        )[0]
+        return (
+            scene.light_color[:, None] * mat.rgb3 * mean_cos[None, :]
+        )
+
     u = u.reshape(s, 5, n)
     tri = sampling.pick_light_triangle(u[:, 0], scene.light_area)  # [S, N]
     if cfg.mode == "reference":
