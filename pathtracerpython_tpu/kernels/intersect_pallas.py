@@ -436,24 +436,9 @@ def _any_hit_call(tripack, o3, d3, maxd):
 
 def nearest_hit_pallas(origin, direction, scene) -> NearestHit:
     """Drop-in fast-mode replacement for ``ops.geometry.nearest_hit``."""
-    n = origin.shape[0]
     d_unit = safe_normalize(direction)
-    tripack = pack_triangles(
-        scene.tri_v0, scene.tri_v1, scene.tri_v2,
-        scene.tri_valid, scene.tri_occluder,
-    )
-    tripack = _pad_dim(tripack, min(T_BLK, max(tripack.shape[0], 1)), axis=0)
-    # ray padding: far origin + unit-ish dir so padded lanes cleanly miss
-    # every AABB and triangle (a zero direction would pass the slab test
-    # and defeat block skipping)
-    r_blk = _r_blk(tripack.shape[0])
-    o3 = _pad_dim(origin.T, r_blk, axis=1, value=1e6)
-    d3 = _pad_dim(d_unit.T, r_blk, axis=1, value=1.0)
-
-    t, idx = _nearest_t_idx(o3, d3, tripack)
-    t, idx = t[:n], idx[:n]
+    t, idx = nearest_t_idx_cm(origin.T, d_unit.T, scene)
     found = idx >= 0
-    t = jnp.where(found, t, 0.0)  # miss lanes: 0, like the XLA sweep
     safe_idx = jnp.maximum(idx, 0)
     point = origin + d_unit * t[:, None]
     from pathtracerpython_tpu.ops.geometry import resolve_hit_attributes

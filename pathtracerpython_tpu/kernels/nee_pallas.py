@@ -43,7 +43,7 @@ from pathtracerpython_tpu.kernels.intersect_pallas import (
 
 
 def _nee_body(
-    tripack_ref, lp_ref, point_ref, normal_ref, u_ref,
+    tripack_ref, lp_ref, point_ref, normal_ref, u_ref, valid_ref,
     mc_out, occ_out, sdir_scr, dist_scr, cos_scr,
     *, s_samples: int, l_tris: int, cull: bool, aabb_ref=None,
 ):
@@ -95,7 +95,10 @@ def _nee_body(
             sdir_scr[3 * s:3 * s + 1, :] = sx
             sdir_scr[3 * s + 1:3 * s + 2, :] = sy
             sdir_scr[3 * s + 2:3 * s + 3, :] = sz
-            dist_scr[s:s + 1, :] = dist
+            # padded ray lanes get dist 0: their in-kernel shadow rays
+            # would otherwise aim back through the scene and keep the
+            # AABB-cull predicate alive for the final ray block
+            dist_scr[s:s + 1, :] = dist * valid_ref[0:1, :]
             cos_scr[s:s + 1, :] = jnp.maximum(
                 sx * nx + sy * ny + sz * nz, 0.0
             )
@@ -153,7 +156,8 @@ def _light_pack(scene):
     )
 
 
-def _nee_call(point3, normal3, u, tripack, lightpack, s_samples: int):
+def _nee_call(point3, normal3, u, valid, tripack, lightpack,
+              s_samples: int):
     n_pad = point3.shape[1]
     t_count = tripack.shape[0]
     l_tris = lightpack.shape[0]
@@ -180,9 +184,6 @@ def _nee_call(point3, normal3, u, tripack, lightpack, s_samples: int):
         (s_samples, r_blk), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
 
-    kernel = functools.partial(
-        _nee_body, s_samples=s_samples, l_tris=l_tris, cull=cull,
-    )
     if cull:
         aabbs = _block_aabbs(tripack, min(T_BLK, t_count))
         aabb_spec = pl.BlockSpec(
@@ -190,26 +191,28 @@ def _nee_call(point3, normal3, u, tripack, lightpack, s_samples: int):
         )
 
         def kernel_cull(tri_ref, aabb_ref, lp_ref, p_ref, n_ref, u_ref,
-                        mc_out, occ_out, sd, di, co):
+                        v_ref, mc_out, occ_out, sd, di, co):
             _nee_body(
-                tri_ref, lp_ref, p_ref, n_ref, u_ref, mc_out, occ_out,
-                sd, di, co, s_samples=s_samples, l_tris=l_tris,
+                tri_ref, lp_ref, p_ref, n_ref, u_ref, v_ref, mc_out,
+                occ_out, sd, di, co, s_samples=s_samples, l_tris=l_tris,
                 cull=True, aabb_ref=aabb_ref,
             )
 
-        in_specs = [tri_spec, aabb_spec, lp_spec, vec_spec, vec_spec, u_spec]
-        args = (tripack, aabbs, lightpack, point3, normal3, u)
+        in_specs = [tri_spec, aabb_spec, lp_spec, vec_spec, vec_spec,
+                    u_spec, mc_spec]
+        args = (tripack, aabbs, lightpack, point3, normal3, u, valid)
         kern = kernel_cull
     else:
-        def kernel_plain(tri_ref, lp_ref, p_ref, n_ref, u_ref,
+        def kernel_plain(tri_ref, lp_ref, p_ref, n_ref, u_ref, v_ref,
                          mc_out, occ_out, sd, di, co):
             _nee_body(
-                tri_ref, lp_ref, p_ref, n_ref, u_ref, mc_out, occ_out,
-                sd, di, co, s_samples=s_samples, l_tris=l_tris, cull=False,
+                tri_ref, lp_ref, p_ref, n_ref, u_ref, v_ref, mc_out,
+                occ_out, sd, di, co, s_samples=s_samples, l_tris=l_tris,
+                cull=False,
             )
 
-        in_specs = [tri_spec, lp_spec, vec_spec, vec_spec, u_spec]
-        args = (tripack, lightpack, point3, normal3, u)
+        in_specs = [tri_spec, lp_spec, vec_spec, vec_spec, u_spec, mc_spec]
+        args = (tripack, lightpack, point3, normal3, u, valid)
         kern = kernel_plain
 
     mc, occ = pl.pallas_call(
@@ -280,9 +283,12 @@ def _nee_fwd_impl(point3, normal3, lv0, lv1, lv2, light_area, u, tripack,
     p3 = _pad_dim(point3, r_blk, axis=1, value=1e6)
     n3 = _pad_dim(normal3, r_blk, axis=1, value=1.0)
     up = _pad_dim(u, r_blk, axis=1, value=0.5)
+    valid = _pad_dim(
+        jnp.ones((1, n), point3.dtype), r_blk, axis=1, value=0.0
+    )
     mc, occ = _nee_call(
         lax.stop_gradient(p3), lax.stop_gradient(n3),
-        lax.stop_gradient(up), lax.stop_gradient(tripack),
+        lax.stop_gradient(up), valid, lax.stop_gradient(tripack),
         lax.stop_gradient(lightpack), s_samples,
     )
     return mc[:, :n], occ[:, :n]

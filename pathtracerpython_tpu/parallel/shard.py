@@ -121,8 +121,11 @@ def render_sharded(
 ) -> jax.Array:
     """Sharded render of the scene's camera view → radiance [W*H, 3] in the
     reference's pixel order. Drop-in distributed form of ``render.render``."""
+    from pathtracerpython_tpu.render.integrator import check_counter_space
+
     base_key = jax.random.PRNGKey(seed)
     w, h = scene.meta.width, scene.meta.height
+    check_counter_space(w * h, cfg.n_samples)  # global ids drive the RNG
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
     pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
     return render_rays_sharded(

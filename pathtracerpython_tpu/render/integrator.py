@@ -121,7 +121,7 @@ def _power_numpy_semantics(base, exponent):
 
 def shade_nee(
     hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
-    cfg: RenderConfig,
+    cfg: RenderConfig, shading_normal3=None,
 ):
     """Direct lighting via next-event estimation; returns [3, N].
 
@@ -138,15 +138,21 @@ def shade_nee(
     s = cfg.n_light_samples
     n = hit.point3.shape[1]
     point3 = hit.point3
+    # fast mode shades on the side the ray arrived from (consistent with
+    # scatter); reference mode uses the raw winding normal (parity)
+    normal3 = hit.normal3 if shading_normal3 is None else shading_normal3
 
     if (cfg.mode == "fast" and cfg.backend == "pallas"
-            and cfg.geom_axis is None):
+            and cfg.geom_axis is None
+            and scene.light_v0.shape[0] <= 16):
         # fused megakernel: sampling + occlusion sweep + cosine mean in one
-        # launch (same uniforms, same estimator; kernels/nee_pallas.py)
+        # launch (same uniforms, same estimator; kernels/nee_pallas.py).
+        # Gated on light-mesh size: the kernel unrolls the CDF pick and
+        # vertex select per light triangle.
         from pathtracerpython_tpu.kernels.nee_pallas import nee_mean_cos_fused
 
         mean_cos = nee_mean_cos_fused(
-            point3, hit.normal3, u, scene, s
+            point3, normal3, u, scene, s
         )[0]
         return (
             scene.light_color[:, None] * mat.rgb3 * mean_cos[None, :]
@@ -187,7 +193,7 @@ def shade_nee(
         geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
     ).reshape(s, n)
 
-    cos = jnp.sum(sdir3 * hit.normal3[:, None, :], axis=0)  # [S, N]
+    cos = jnp.sum(sdir3 * normal3[:, None, :], axis=0)  # [S, N]
     if cfg.mode != "reference":
         cos = jnp.maximum(cos, 0.0)
     mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=0)  # [N]
@@ -212,14 +218,14 @@ def shade_nee(
 
 
 def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
-          cfg: RenderConfig, prev_specular):
+          cfg: RenderConfig, prev_specular, shading_normal3=None):
     """Per-bounce color [3, N]: light hits pay the light color, surface
     hits pay ambient + NEE (``compute_color``, ``main.py:142-145``);
     misses pay 0. Fast mode kills the reference's emission double-count
     (quirk §2.4-6): a light hit only pays when the path arrived from the
     camera or a specular bounce."""
     ambient3 = mat.rgb3 * (mat.ka * scene.ambient)[None, :]
-    direct3 = shade_nee(hit, mat, u, scene, cfg)
+    direct3 = shade_nee(hit, mat, u, scene, cfg, shading_normal3)
     surface3 = ambient3 + direct3
 
     light3 = jnp.broadcast_to(scene.light_color[:, None], surface3.shape)
@@ -229,9 +235,14 @@ def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
     return jnp.where(hit.hit[None, :], color3, 0.0)
 
 
+def arrival_side_normal(normal3, d_in3):
+    """Flip the geometric normal onto the side the ray arrived from."""
+    return normal3 * jnp.sign(-cm_dot(normal3, d_in3) + 1e-12)[None, :]
+
+
 def scatter(
     state: RayState, hit: NearestHitCM, mat: Materials, u,
-    scene: SceneArrays, cfg: RenderConfig,
+    scene: SceneArrays, cfg: RenderConfig, shading_normal3=None,
 ):
     """BRDF sampling: (new_dir3, throughput_factor, survives,
     chose_specular) for every lane. ``u``: [3, N] uniforms.
@@ -267,8 +278,8 @@ def scatter(
         factor = jnp.where(choose_diffuse, diffuse_k, spec_k)
     else:
         d_in3 = normalize3(state.direction3)
-        # shade on the side the ray arrived from
-        n_sh3 = normal3 * jnp.sign(-cm_dot(normal3, d_in3) + 1e-12)[None, :]
+        n_sh3 = (shading_normal3 if shading_normal3 is not None
+                 else arrival_side_normal(normal3, d_in3))
         diffuse_dir3 = cm_cosine_hemisphere_fixed(u[1:3], n_sh3)
         spec_dir3 = cm_reflect(d_in3, n_sh3)
 
@@ -293,20 +304,29 @@ def bounce_step(
         geom_axis_size=cfg.geom_axis_size,
     )
     mat = resolve_materials(scene, hit.material)
+    if cfg.mode == "fast":
+        # one arrival-side normal for BOTH direct lighting and scattering
+        # (backface-consistent shading; reference mode keeps raw windings)
+        shading_n3 = arrival_side_normal(
+            hit.normal3, normalize3(state.direction3)
+        )
+    else:
+        shading_n3 = None
 
     nk0, nk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_NEE)
     sk0, sk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_SCATTER)
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
 
-    color3 = shade(hit, mat, u_nee, scene, cfg, state.prev_specular)
+    color3 = shade(hit, mat, u_nee, scene, cfg, state.prev_specular,
+                   shading_n3)
     contrib3 = jnp.where(
         state.alive[None, :], color3 * state.throughput[None, :], 0.0
     )
     radiance3 = state.radiance3 + contrib3
 
     new_dir3, factor, survives, chose_spec = scatter(
-        state, hit, mat, u_scatter, scene, cfg
+        state, hit, mat, u_scatter, scene, cfg, shading_n3
     )
     alive = state.alive & survives
     throughput = jnp.where(alive, state.throughput * factor, state.throughput)
@@ -356,6 +376,8 @@ def render_rays(
     """
     n = origins.shape[0]
     s_total = cfg.n_samples
+    check_counter_space(n, s_total)  # local lower bound; render()/sharded
+    #                                  entries check the global pixel count
     o3 = origins.T
     d3 = directions.T
     pid = pixel_ids.astype(jnp.uint32)
@@ -398,10 +420,22 @@ def render_rays(
     return (total3 / s_total).T
 
 
+def check_counter_space(n_pixels: int, n_samples: int) -> None:
+    """Path counters are uint32 (pixel_id * spp + sample); past 2^32 they
+    would silently alias RNG streams across paths — refuse instead."""
+    if n_pixels * n_samples >= 2**32:
+        raise ValueError(
+            f"pixels*samples = {n_pixels}*{n_samples} overflows the uint32 "
+            "path counter space; chunk samples (utils.render_progressive) "
+            "or tile the image"
+        )
+
+
 def render(scene: SceneArrays, cfg: RenderConfig, seed: int = 0) -> jax.Array:
     """Render the scene's camera view; returns radiance [W*H, 3] in the
     reference's pixel order (x-outer / y-inner)."""
     w, h = scene.meta.width, scene.meta.height
+    check_counter_space(w * h, cfg.n_samples)
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
     pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
     return render_rays(origins, dirs, pixel_ids, scene, cfg, seed)
