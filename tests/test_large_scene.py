@@ -87,3 +87,52 @@ def test_render_morton_scene_matches_plain(cornell_sdl):
         render(pack_scene(desc, morton_order=True), cfg, seed=4)
     )
     np.testing.assert_allclose(r_sorted, r_plain, rtol=1e-5, atol=1e-5)
+
+
+def test_many_light_triangles_falls_back_cleanly():
+    """A light mesh above the fused-NEE unroll gate must render through
+    the unfused path with identical estimator semantics (the fused kernel
+    unrolls per light triangle, so it is gated at 16)."""
+    import numpy as np
+
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.obj import mesh_from_arrays
+    from pathtracerpython_tpu.scene.sdl import SceneDescription, SdlObject
+    from pathtracerpython_tpu.scene.synthetic import quad_mesh
+
+    # light: a 5x5 grid of quads = 50 triangles
+    verts, faces = [], []
+    off = 0
+    for i in range(5):
+        for j in range(5):
+            x0, z0 = -0.5 + 0.2 * i, -2.4 + 0.2 * j
+            q = quad_mesh(
+                [x0, 1.4, z0], [x0 + 0.2, 1.4, z0],
+                [x0 + 0.2, 1.4, z0 + 0.2], [x0, 1.4, z0 + 0.2],
+            )
+            verts.append(q.vertices)
+            faces.append(q.faces + off)
+            off += 4
+    light = mesh_from_arrays(
+        np.concatenate(verts), np.concatenate(faces), path="gridlight"
+    )
+    floor = quad_mesh([-3, -1, 1], [3, -1, 1], [3, -1, -5], [-3, -1, -5])
+    desc = SceneDescription(
+        eye=(0.0, 0.0, 3.0), width=16, height=16,
+        ortho=(-1.0, -1.0, 1.0, 1.0), ambient=0.3,
+        light_mesh=light, light_color=(1.0, 1.0, 1.0),
+        objects=[SdlObject(mesh=floor, rgb=(0.5, 0.5, 0.5), ka=0.3,
+                           kd=0.7, ks=0.0, kt=0.0, n=1.0)],
+    )
+    scene = pack_scene(desc)
+    assert scene.light_v0.shape[0] == 50  # above the fused gate
+    cfg_p = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                         backend="pallas")
+    cfg_x = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                         backend="xla")
+    rp = np.asarray(render(scene, cfg_p, seed=1))
+    rx = np.asarray(render(scene, cfg_x, seed=1))
+    assert np.isfinite(rp).all()
+    np.testing.assert_allclose(rp, rx, rtol=1e-5, atol=1e-5)
