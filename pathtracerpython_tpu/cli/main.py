@@ -61,6 +61,8 @@ def setup(argv=None) -> argparse.Namespace:
                    default="default",
                    help="force a jax platform (the environment may pin one "
                         "that plain JAX_PLATFORMS can't override)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print a JSON metrics summary (timings, rays/s)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -112,19 +114,35 @@ def main(argv=None) -> int:
         f"{scene.meta.width}x{scene.meta.height})")
     log(f"config: {cfg}")
 
-    t0 = time.perf_counter()
-    if args.dp > 0:
-        from pathtracerpython_tpu.parallel import make_mesh, render_sharded
+    from pathtracerpython_tpu.utils import MetricsLogger
 
-        mesh = make_mesh(dp=args.dp, geom=args.geom)
-        radiance = render_sharded(
-            scene, cfg, mesh, seed=args.seed,
-            geom_axis="geom" if args.geom > 1 else None,
-        )
-    else:
-        radiance = render(scene, cfg, seed=args.seed)
-    jax.block_until_ready(radiance)
+    metrics = MetricsLogger()
+    t0 = time.perf_counter()
+    with metrics.timed("render") as box:
+        if args.dp > 0:
+            from pathtracerpython_tpu.parallel import make_mesh, render_sharded
+
+            mesh = make_mesh(dp=args.dp, geom=args.geom)
+            radiance = render_sharded(
+                scene, cfg, mesh, seed=args.seed,
+                geom_axis="geom" if args.geom > 1 else None,
+            )
+        else:
+            radiance = render(scene, cfg, seed=args.seed)
+        box["out"] = radiance
     log(f"rendered in {time.perf_counter() - t0:.2f}s")
+    metrics.count(
+        "rays",
+        scene.meta.width * scene.meta.height * cfg.n_samples
+        * cfg.n_bounces * (1 + cfg.n_light_samples),
+    )
+    if args.metrics:
+        import json as _json
+
+        print(_json.dumps({
+            **metrics.summary(),
+            "rays_per_s": metrics.rate("rays", "render"),
+        }))
 
     image = radiance_to_image(
         radiance, scene.meta.width, scene.meta.height,
