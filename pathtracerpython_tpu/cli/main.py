@@ -119,10 +119,12 @@ def main(argv=None) -> int:
     metrics = MetricsLogger()
     t0 = time.perf_counter()
     with metrics.timed("render") as box:
-        if args.dp > 0:
+        if args.dp > 0 or args.geom > 1:
             from pathtracerpython_tpu.parallel import make_mesh, render_sharded
 
-            mesh = make_mesh(dp=args.dp, geom=args.geom)
+            mesh = make_mesh(
+                dp=args.dp if args.dp > 0 else None, geom=args.geom
+            )
             radiance = render_sharded(
                 scene, cfg, mesh, seed=args.seed,
                 geom_axis="geom" if args.geom > 1 else None,
@@ -131,8 +133,11 @@ def main(argv=None) -> int:
             radiance = render(scene, cfg, seed=args.seed)
         box["out"] = radiance
     log(f"rendered in {time.perf_counter() - t0:.2f}s")
+    # upper bound: counts every wavefront lane-bounce (dead lanes are
+    # masked, not compacted, so this IS the work dispatched); the timing
+    # includes jit compilation for this one-shot invocation
     metrics.count(
-        "rays",
+        "rays_attempted",
         scene.meta.width * scene.meta.height * cfg.n_samples
         * cfg.n_bounces * (1 + cfg.n_light_samples),
     )
@@ -141,7 +146,9 @@ def main(argv=None) -> int:
 
         print(_json.dumps({
             **metrics.summary(),
-            "rays_per_s": metrics.rate("rays", "render"),
+            "rays_attempted_per_s_incl_compile": metrics.rate(
+                "rays_attempted", "render"
+            ),
         }))
 
     image = radiance_to_image(

@@ -43,16 +43,35 @@ EMISSION_FIELDS = ("light_color", "ambient")
 VERTEX_FIELDS = (
     "tri_v0", "tri_v1", "tri_v2", "light_v0", "light_v1", "light_v2",
 )
-PARAM_FIELDS = MATERIAL_FIELDS + EMISSION_FIELDS + VERTEX_FIELDS + ("eye",)
+# Note: camera pose ("eye") is deliberately NOT a parameter — the training
+# step precomputes primary rays from the base scene, so an eye override
+# could not move the camera and would silently produce wrong gradients.
+# Camera-pose optimization needs in-loss ray generation (future work).
+PARAM_FIELDS = MATERIAL_FIELDS + EMISSION_FIELDS + VERTEX_FIELDS
+
+_LIGHT_TO_TRI = {"light_v0": "tri_v0", "light_v1": "tri_v1",
+                 "light_v2": "tri_v2"}
 
 
 def apply_params(scene: SceneArrays, params: dict) -> SceneArrays:
     """Overlay a params dict onto the scene; rederive normals/areas when
-    vertices moved so their gradients flow too."""
+    vertices moved so their gradients flow too.
+
+    The light's geometry exists twice (NEE sampling buffers and its rows
+    in the main triangle buffer — hit/occlusion/emission); overriding
+    ``light_v*`` updates BOTH via ``scene.light_tri_rows`` so the sampled
+    light and the visible light cannot drift apart."""
     unknown = set(params) - set(PARAM_FIELDS)
     if unknown:
         raise ValueError(f"unknown scene parameters: {sorted(unknown)}")
     scene = dataclasses.replace(scene, **params)
+    sync = {}
+    for lf, tf in _LIGHT_TO_TRI.items():
+        if lf in params:
+            tri = sync.get(tf, getattr(scene, tf))
+            sync[tf] = tri.at[scene.light_tri_rows].set(params[lf])
+    if sync:
+        scene = dataclasses.replace(scene, **sync)
     if any(f in params for f in VERTEX_FIELDS):
         scene = recompute_derived(scene)
     return scene
@@ -150,7 +169,9 @@ def fit(
     for i in range(steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(params, opt_state, sub)
-        losses.append(float(loss))
+        # keep the device scalar: float() here would sync every step and
+        # stall dispatch of the next one
+        losses.append(loss)
         if callback is not None:
-            callback(i, params, losses[-1])
-    return params, losses
+            callback(i, params, float(loss))
+    return params, [float(l) for l in losses]

@@ -24,6 +24,7 @@ def make_mesh(dp: int | None = None, geom: int = 1, devices=None) -> Mesh:
     is the fastest-varying — neighbours on the geom ring are physically
     adjacent chips, which is what the ppermute ring wants.
     """
+    all_devices = devices is None
     if devices is None:
         devices = jax.devices()
     n = len(devices)
@@ -31,5 +32,9 @@ def make_mesh(dp: int | None = None, geom: int = 1, devices=None) -> Mesh:
         assert n % geom == 0, (n, geom)
         dp = n // geom
     assert dp * geom <= n, (dp, geom, n)
+    if all_devices and dp * geom == n:
+        # topology-aware assignment: jax.make_mesh orders devices so ring
+        # neighbours on the trailing (geom) axis are physically adjacent
+        return jax.make_mesh((dp, geom), ("dp", "geom"))
     devs = np.asarray(devices[: dp * geom]).reshape(dp, geom)
     return Mesh(devs, axis_names=("dp", "geom"))

@@ -87,7 +87,14 @@ def nearest_hit_ring(
         owner = jnp.mod(me - step, n)
         global_idx = local.tri_idx + owner.astype(jnp.int32) * shard_t
         key = _hit_key(local, mode, big)
-        better = key < best_key
+        # tie-break exact-equal keys to the LOWEST global buffer index —
+        # the replicated sweep's (and the reference's first-minimum)
+        # semantics; ring visit order must not leak into results. Exact
+        # ties are real: linspace primary rays hit shared edges of
+        # coplanar wall triangles with bit-identical t.
+        better = (key < best_key) | (
+            (key == best_key) & local.hit & (global_idx < best.tri_idx)
+        )
         best_key = jnp.where(better, key, best_key)
         bsel = lambda a, b: jnp.where(
             better[(...,) + (None,) * (a.ndim - 1)], a, b

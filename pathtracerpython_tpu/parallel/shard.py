@@ -28,10 +28,9 @@ from pathtracerpython_tpu.scene.arrays import SceneArrays, TRI_FIELDS
 def scene_partition_specs(scene: SceneArrays, geom_axis: str | None = None):
     """A SceneArrays-shaped pytree of PartitionSpecs: TRI_FIELDS sharded on
     ``geom_axis`` (dim 0), everything else replicated."""
-    tri = {f: getattr(scene, f) for f in TRI_FIELDS}
     specs = {
         f: P(geom_axis) if geom_axis else P()
-        for f in tri
+        for f in TRI_FIELDS
     }
     spec_scene = dataclasses.replace(
         scene,
@@ -72,12 +71,17 @@ def render_rays_sharded(
     axis doubles as extra ray parallelism). Scene TRI_FIELDS shard over
     ``geom_axis``; all other scene leaves replicate.
     """
+    from pathtracerpython_tpu.render.integrator import check_counter_space
+
     axes = _ray_axes(dp_axis, geom_axis)
     n_shards = 1
     for a in axes:
         n_shards *= mesh.shape[a]
 
     n = origins.shape[0]
+    # this entry receives the FULL (pre-shard) ray arrays, so n is the
+    # global count the uint32 path counters must accommodate
+    check_counter_space(n, cfg.n_samples)
     pad = (-n) % n_shards
     if pad:
         pad3 = lambda x: jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])

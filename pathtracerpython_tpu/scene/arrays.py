@@ -66,6 +66,7 @@ TRI_FIELDS = (
 DATA_FIELDS = TRI_FIELDS + (
     "mat_rgb", "mat_ka", "mat_kd", "mat_ks", "mat_kt", "mat_n",
     "light_v0", "light_v1", "light_v2", "light_area", "light_color",
+    "light_tri_rows",
     "ambient", "eye", "ortho", "background",
 )
 
@@ -103,6 +104,10 @@ class SceneArrays:
     light_v2: jax.Array    # f[L, 3]
     light_area: jax.Array  # f[L]
     light_color: jax.Array  # f[3]
+    light_tri_rows: jax.Array  # i32[L] — row of light triangle l in the
+    #                            main tri buffer (keeps the two copies of
+    #                            the light geometry in sync when light
+    #                            vertices are optimized; diff.apply_params)
     # globals
     ambient: jax.Array     # f[]
     eye: jax.Array         # f[3]
@@ -185,12 +190,18 @@ def pack_scene(
     tri_is_light = np.concatenate(is_light)
     n_tris = tri_v0.shape[0]
 
+    light_tri_rows = n_obj_tris + np.arange(
+        lm.num_triangles, dtype=np.int32
+    )
     if morton_order:
         order = _morton_argsort((tri_v0 + tri_v1 + tri_v2) / 3.0)
         tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
         tri_normal, tri_area = tri_normal[order], tri_area[order]
         tri_material = tri_material[order]
         tri_is_light = tri_is_light[order]
+        inverse = np.empty_like(order)
+        inverse[order] = np.arange(order.shape[0])
+        light_tri_rows = inverse[light_tri_rows].astype(np.int32)
 
     T = max(_round_up(n_tris, pad_to), pad_to)
     pad = T - n_tris
@@ -226,6 +237,7 @@ def pack_scene(
         light_v2=lc.astype(dtype),
         light_area=lm.areas.astype(dtype),
         light_color=np.asarray(desc.light_color, dtype),
+        light_tri_rows=light_tri_rows,
         ambient=np.asarray(desc.ambient if desc.ambient is not None else 0.0, dtype),
         eye=np.asarray(desc.eye, dtype),
         ortho=np.asarray(desc.ortho, dtype),

@@ -110,15 +110,4 @@ def load_obj(path: str) -> ObjMesh:
             faces.extend(_triangulate(idx))
         # other records skipped, as in the reference
 
-    verts = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
-    face_arr = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
-    tri = verts[face_arr]  # [T, 3, 3]
-    e1 = tri[:, 1] - tri[:, 0]
-    e2 = tri[:, 2] - tri[:, 0]
-    cross = np.cross(e1, e2)
-    norm = np.linalg.norm(cross, axis=-1, keepdims=True)
-    normals = cross / np.where(norm == 0.0, 1.0, norm)
-    areas = norm[:, 0] / 2.0
-    return ObjMesh(
-        vertices=verts, faces=face_arr, normals=normals, areas=areas, path=path
-    )
+    return mesh_from_arrays(vertices, faces, path=path)

@@ -210,3 +210,32 @@ def test_remat_bounces_gradients_match(flat_scene):
         np.asarray(g1["mat_rgb"]), np.asarray(g2["mat_rgb"]), rtol=1e-5,
         atol=1e-8,
     )
+
+
+def test_light_vertex_override_syncs_tri_buffer(flat_scene):
+    """apply_params on light_v* must move the light's rows in the main
+    triangle buffer too (hit/occlusion/emission see the same geometry the
+    NEE sampler draws from)."""
+    import numpy as np
+
+    moved = apply_params(flat_scene, {"light_v0": flat_scene.light_v0 + 0.2})
+    rows = np.asarray(flat_scene.light_tri_rows)
+    np.testing.assert_allclose(
+        np.asarray(moved.tri_v0)[rows],
+        np.asarray(flat_scene.light_v0) + 0.2,
+        rtol=1e-6,
+    )
+
+
+def test_light_rows_survive_morton(cornell_sdl):
+    import numpy as np
+
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.sdl import load_sdl
+
+    sc = pack_scene(load_sdl(cornell_sdl), morton_order=True)
+    rows = np.asarray(sc.light_tri_rows)
+    np.testing.assert_allclose(
+        np.asarray(sc.tri_v0)[rows], np.asarray(sc.light_v0), rtol=1e-6
+    )
+    assert np.asarray(sc.tri_is_light)[rows].all()

@@ -89,7 +89,7 @@ def test_pack_scene_is_pytree(cornell_scene):
     import jax
 
     leaves = jax.tree_util.tree_leaves(cornell_scene)
-    assert len(leaves) == 24  # the 24 data fields of SceneArrays
+    assert len(leaves) == 25  # the 25 data fields of SceneArrays
     # meta survives flatten/unflatten
     flat, treedef = jax.tree_util.tree_flatten(cornell_scene)
     s2 = jax.tree_util.tree_unflatten(treedef, flat)
