@@ -69,7 +69,12 @@ bool parse_buffer(const char* data, size_t len, Parsed* out) {
             out->error = "short vertex record";
             return false;
           }
-          xyz[k] = strtod(t, nullptr);
+          char* endp = nullptr;
+          xyz[k] = strtod(t, &endp);
+          if (endp != te) {  // whole token must be numeric (python parity)
+            out->error = "malformed vertex coordinate";
+            return false;
+          }
           q = te;
         }
         out->vertices.insert(out->vertices.end(), xyz, xyz + 3);
@@ -81,10 +86,20 @@ bool parse_buffer(const char* data, size_t len, Parsed* out) {
           const char* t = next_token(q, e, &te);
           if (t == te) break;
           // "v/vt/vn" forms: vertex index is the part before '/'
-          long idx = strtol(t, nullptr, 10);
+          char* endp = nullptr;
+          long idx = strtol(t, &endp, 10);
+          if (endp == t || (*endp != '/' && endp != te)) {
+            out->error = "malformed face index";
+            return false;
+          }
           long n_verts = static_cast<long>(out->vertices.size() / 3);
+          // python parity: store EXACTLY what obj.py stores (i-1 for
+          // positive — so 'f 0' stores -1 — and len+i for negative);
+          // numpy wraps values in [-n, -1] at triangle_vertices() time,
+          // so those are kept raw here and only truly-unreachable
+          // indices are rejected
           long zero_based = idx < 0 ? n_verts + idx : idx - 1;
-          if (zero_based < 0 || zero_based >= n_verts) {
+          if (zero_based < -n_verts || zero_based >= n_verts) {
             out->error = "face index out of range";
             return false;
           }
@@ -183,8 +198,10 @@ void morton_argsort(const double* points, int64_t n, int64_t* out) {
   for (int64_t i = 0; i < n; ++i) {
     uint32_t q[3];
     for (int k = 0; k < 3; ++k) {
+      // identical formula to scene/arrays._morton_argsort: divide by
+      // max(span, 1e-12) so degenerate-but-nonzero spans still discriminate
       double span = hi[k] - lo[k];
-      double u = span > 1e-12 ? (points[i * 3 + k] - lo[k]) / span : 0.0;
+      double u = (points[i * 3 + k] - lo[k]) / (span > 1e-12 ? span : 1e-12);
       double scaled = u * 1023.0;
       if (scaled < 0) scaled = 0;
       if (scaled > 1023) scaled = 1023;

@@ -76,8 +76,8 @@ def run(
         ).max()
     )
     result = {
-        "loss_first": losses[0],
-        "loss_last": losses[-1],
+        "loss_first": losses[0] if losses else None,
+        "loss_last": losses[-1] if losses else None,
         "max_albedo_err": err,
         "out_dir": out_dir,
     }

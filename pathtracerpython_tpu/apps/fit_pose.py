@@ -59,20 +59,16 @@ def translate_object(scene, obj_index: int, offset):
 
 
 def translate_light(scene, offset):
-    """Shift the area light: both its NEE sampling buffers and its copies
-    in the main triangle buffer (scene/arrays.py keeps the two in sync)."""
-    import jax.numpy as jnp
+    """Shift the area light; ``diff.apply_params`` keeps the NEE sampling
+    buffers and the light's rows in the main triangle buffer in sync (one
+    code path owns that invariant)."""
+    from pathtracerpython_tpu.diff import apply_params
 
-    shift = jnp.where(scene.tri_is_light[:, None], 1.0, 0.0) * offset[None, :]
-    return dataclasses.replace(
-        scene,
-        tri_v0=scene.tri_v0 + shift,
-        tri_v1=scene.tri_v1 + shift,
-        tri_v2=scene.tri_v2 + shift,
-        light_v0=scene.light_v0 + offset,
-        light_v1=scene.light_v1 + offset,
-        light_v2=scene.light_v2 + offset,
-    )
+    return apply_params(scene, {
+        "light_v0": scene.light_v0 + offset,
+        "light_v1": scene.light_v1 + offset,
+        "light_v2": scene.light_v2 + offset,
+    })
 
 
 def run(

@@ -31,9 +31,12 @@ def radiance_to_canvas(radiance: jax.Array, width: int, height: int):
 
 def normalize_minmax(canvas):
     """The reference's global min-max auto-normalization (utils.py:158-159):
-    subtract the min, then divide by the max of the SHIFTED canvas."""
+    subtract the min, then divide by the max of the SHIFTED canvas. A
+    constant canvas (all-background render) maps to zeros rather than the
+    0/0 NaNs the raw formula would produce."""
     shifted = canvas - jnp.min(canvas)
-    return shifted / jnp.max(shifted)
+    peak = jnp.max(shifted)
+    return shifted / jnp.where(peak == 0.0, 1.0, peak)
 
 
 def radiance_to_image(

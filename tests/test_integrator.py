@@ -91,3 +91,15 @@ def test_batch_samples_matches_sequential(cornell_scene):
     a = np.asarray(render(cornell_scene, cfg, seed=6))
     b = np.asarray(render(cornell_scene, cfg_b, seed=6))
     np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+
+def test_constant_canvas_minmax_no_nan():
+    """All-equal radiance (e.g. an all-background render) must produce a
+    valid zero image, not NaNs, on the default minmax path."""
+    import jax.numpy as jnp
+
+    from pathtracerpython_tpu.render.image import radiance_to_image
+
+    img = radiance_to_image(jnp.full((16, 3), 0.25), 4, 4)
+    assert img.dtype == np.uint8
+    assert (img == 0).all()

@@ -75,3 +75,37 @@ def test_fast_loader_always_works(tmp_path):
         f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
     mesh = load_obj_fast(p)
     assert mesh.num_triangles == 1
+
+
+@needs_native
+def test_native_rejects_malformed_like_python(tmp_path):
+    p = str(tmp_path / "bad.obj")
+    with open(p, "w") as f:
+        f.write("v 1,5 2 3\nv 0 0 0\nv 1 0 0\nf 1 2 3\n")
+    with pytest.raises(RuntimeError, match="malformed"):
+        load_obj_native(p)
+    with pytest.raises(ValueError):
+        load_obj(p)
+
+
+@needs_native
+def test_native_zero_index_parity(tmp_path):
+    """'f 0' stores -1 exactly like the Python parser (numpy wraps it to
+    the last vertex at use time)."""
+    p = str(tmp_path / "z.obj")
+    with open(p, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 0 1 2\n")
+    py = load_obj(p)
+    nat = load_obj_native(p)
+    np.testing.assert_array_equal(nat.faces, py.faces)
+    np.testing.assert_allclose(nat.normals, py.normals)
+
+
+@needs_native
+def test_native_morton_degenerate_span_parity():
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (512, 3))
+    pts[:, 2] = 1.0 + rng.uniform(0, 5e-13, 512)  # span <= 1e-12
+    np.testing.assert_array_equal(
+        morton_argsort_native(pts), _morton_argsort(pts)
+    )
