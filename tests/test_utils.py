@@ -60,3 +60,27 @@ def test_metrics_logger():
     assert s["calls"]["phase_a"] == 1
     assert s["timings_s"]["phase_a"] > 0
     assert m.rate("rays", "phase_a") > 0
+
+
+def test_progressive_compose_with_sharded_renderer(cornell_scene, tmp_path):
+    """render_progressive accepts any renderer with the render() signature
+    — here the mesh-sharded one (checkpointed distributed rendering)."""
+    import functools
+
+    from pathtracerpython_tpu.parallel import make_mesh, render_sharded
+
+    mesh = make_mesh(dp=4, geom=1)
+    renderer = functools.partial(render_sharded, mesh=mesh)
+    cfg = RenderConfig(mode="fast", n_bounces=1)
+    out = render_progressive(
+        cornell_scene, cfg, total_samples=2, chunk_samples=1,
+        checkpoint_dir=str(tmp_path / "ck"), seed=3,
+        renderer=renderer, log=lambda *a: None,
+    )
+    single = render_progressive(
+        cornell_scene, cfg, total_samples=2, chunk_samples=1,
+        checkpoint_dir=str(tmp_path / "ck2"), seed=3, log=lambda *a: None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(single), rtol=1e-6, atol=1e-7
+    )
