@@ -1,7 +1,8 @@
 // Native scene data-loader: fast wavefront-OBJ parsing + spatial sort.
 //
 // The Python parser (pathtracerpython_tpu/scene/obj.py) is the semantic
-// reference — this library reproduces it exactly (v/f records only,
+// reference — this library reproduces it for well-formed files (v/f
+// records only,
 // negative indices relative to vertices-so-far, fan triangulation from
 // vertex 0, '#' comments, v/vt/vn face tokens keep the vertex index) at
 // C++ speed for large meshes. Exposed through ctypes
@@ -71,7 +72,11 @@ bool parse_buffer(const char* data, size_t len, Parsed* out) {
           }
           char* endp = nullptr;
           xyz[k] = strtod(t, &endp);
-          if (endp != te) {  // whole token must be numeric (python parity)
+          // Whole token must be numeric. Near-parity with Python float():
+          // strtod rejects a few exotic forms float() accepts (e.g. digit
+          // underscores "1_0"), so such pathological files error here but
+          // parse under the Python fallback. Well-formed meshes agree.
+          if (endp != te) {
             out->error = "malformed vertex coordinate";
             return false;
           }

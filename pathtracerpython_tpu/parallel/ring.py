@@ -6,8 +6,10 @@ multi-host config in BASELINE.json), replicating geometry is impossible. The
 TPU-native answer is the ring-attention pattern with triangles as the
 streamed context: every device keeps its rays and running best-hit state
 resident, intersects them against the triangle shard it currently holds,
-then rotates the shard to its ring neighbour. After ``axis_size`` steps each
-ray has seen every triangle exactly once and the shards are back home.
+then rotates the shard to its ring neighbour. ``axis_size - 1`` rotations
+run (the last sweep needs no further ppermute), so after the loop each ray
+has seen every triangle exactly once; the rotated scene binding is
+function-local and ends one rotation short of home — nothing reuses it.
 
 The reference has no analogue — its nearest-hit scan is a per-ray Python
 loop over all triangles (``main.py:94-109``); this module is that scan's

@@ -120,7 +120,19 @@ class SceneArrays:
         return int(self.tri_v0.shape[0])
 
     def astype(self, dtype) -> "SceneArrays":
-        """Cast all float leaves to ``dtype`` (ints/bools unchanged)."""
+        """Cast all float leaves to ``dtype`` (ints/bools unchanged).
+
+        Requesting float64 without ``jax_enable_x64`` would silently
+        truncate back to float32 (with a warning per leaf) — reject it
+        up front instead.
+        """
+        if (jnp.dtype(dtype) == jnp.dtype("float64")
+                and not jax.config.jax_enable_x64):
+            raise ValueError(
+                "SceneArrays.astype(float64) requires jax_enable_x64; "
+                "enable it (jax.config.update('jax_enable_x64', True)) "
+                "or cast to float32/bfloat16"
+            )
         def cast(x):
             if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating):
                 return jnp.asarray(x, dtype)

@@ -1,7 +1,10 @@
 """ctypes bindings for the native (C++) scene data-loader.
 
-``native/objparse.cpp`` reimplements the Python OBJ parser's exact
-semantics at C++ speed for large meshes. This module loads the shared
+``native/objparse.cpp`` reimplements the Python OBJ parser's semantics
+at C++ speed for large meshes (identical on well-formed files; strtod
+rejects a few exotic numeric forms Python ``float()`` accepts, e.g.
+digit underscores — those fall back to the Python parser's behavior only
+by erroring here). This module loads the shared
 library, building it with ``make`` on first use if the toolchain is
 available, and falls back to the pure-Python parser otherwise — callers
 never fail because the native tier is missing.

@@ -61,8 +61,14 @@ def render_progressive(
 
     Resumes automatically from the latest checkpoint in ``checkpoint_dir``.
     Returns radiance [W*H, 3] (mean over all completed samples). Sample
-    chunk i uses RNG seed ``fold_in(seed, i)``, so the final image is
-    independent of the chunking and of how many times the job restarted.
+    chunk i uses RNG seed ``fold_in(seed, i)``, so for a FIXED
+    ``chunk_samples`` the result is independent of how many times the job
+    restarted (a resumed run bit-matches an uninterrupted one). Changing
+    ``chunk_samples`` changes the chunk→seed mapping and therefore the
+    (equally converged) result. When ``chunk_samples`` does not divide
+    ``total_samples``, the final chunk still renders a full
+    ``chunk_samples`` — the returned mean is over ``samples_done`` (which
+    may exceed ``total_samples``), never over a partial weighting.
     """
     import dataclasses
 

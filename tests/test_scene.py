@@ -112,7 +112,14 @@ def test_recompute_derived_matches_host(cornell_scene):
 
 
 def test_astype(cornell_scene):
+    import jax
     import jax.numpy as jnp
+    import pytest
 
-    s64 = cornell_scene.astype(jnp.float64)  # on CPU tests x64 may be off; check no crash
-    assert s64.tri_material.dtype == jnp.int32
+    sbf = cornell_scene.astype(jnp.bfloat16)
+    assert sbf.tri_v0.dtype == jnp.bfloat16
+    assert sbf.tri_material.dtype == jnp.int32
+    if not jax.config.jax_enable_x64:
+        # float64 without x64 would silently truncate — must be rejected
+        with pytest.raises(ValueError, match="x64"):
+            cornell_scene.astype(jnp.float64)
