@@ -7,6 +7,14 @@ transpose (scatter-add of gradients into the table) is again a matmul. The
 integrator funnels every per-ray table lookup (materials, triangle
 attributes, light vertices) through ``take_rows`` so the whole hot path is
 gather-free for typical scenes; big tables fall back to a real gather.
+
+Every one-hot matmul here runs at ``Precision.HIGHEST``: TPU f32 matmuls
+default to bf16 passes, which would silently round the gathered VALUES
+(a 0/1 matmul is only a gather if the data operand stays exact). This was
+a real bug: the Cornell light's y=3.836 rounded to bf16 3.84375 — above
+the ceiling at 3.8416 — so on the TPU XLA path every NEE shadow ray was
+self-occluded and direct lighting vanished. CPU tests never see it (CPU
+matmuls are exact); only on-chip runs do.
 """
 
 from __future__ import annotations
@@ -45,7 +53,8 @@ def take_rows(table: jax.Array, idx: jax.Array,
         flat_idx[:, None] == jnp.arange(r, dtype=flat_idx.dtype)[None, :]
     ).astype(table.dtype)
     flat_tab = table.reshape(r, -1)
-    out = jnp.dot(onehot, flat_tab, preferred_element_type=table.dtype)
+    out = jnp.dot(onehot, flat_tab, preferred_element_type=table.dtype,
+                  precision=jax.lax.Precision.HIGHEST)
     return out.reshape(idx.shape + table.shape[1:])
 
 
@@ -69,7 +78,8 @@ def cm_take(table_cm: jax.Array, idx: jax.Array,
             flat[None, :] == jnp.arange(r, dtype=flat.dtype)[:, None]
         ).astype(table_cm.dtype)
         out = jnp.dot(table_cm, onehot,
-                      preferred_element_type=table_cm.dtype)
+                      preferred_element_type=table_cm.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
     return out.reshape((c,) + idx.shape)
 
 

@@ -95,7 +95,10 @@ def rotate_frame_reference(v: jax.Array, normal: jax.Array) -> jax.Array:
     """
     angle = jnp.arccos(jnp.clip(normal[..., 1], -1.0, 1.0))
     rot = rotation_about_y(angle)
-    return jnp.einsum("...ij,...j->...i", rot, v)
+    # HIGHEST precision: TPU matmuls default to bf16 passes, which would
+    # round the frame (parity path must be f32-exact like the reference)
+    return jnp.einsum("...ij,...j->...i", rot, v,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def cosine_hemisphere_reference(u2: jax.Array) -> jax.Array:
