@@ -14,13 +14,16 @@ Two modes:
 
 - ``--object <name>`` (e.g. ``cube``): translate a scene object. For
   axis-aligned opaque geometry the interior derivative is degenerate —
-  in-plane translation doesn't move any face's plane, so the true gradient
-  lives entirely in the silhouette/occlusion boundary terms that detached
-  (discrete) visibility cannot see. This mode exists to demonstrate the
-  machinery and the limitation; making it converge needs reparameterized /
-  edge-sampled visibility (planned; see diff/inverse.py notes).
+  in-plane translation doesn't move any face's plane, so the true
+  gradient lives entirely in silhouette/occlusion boundary terms. This
+  mode therefore runs the SOFT estimator (``RenderConfig.soft_vis_beta``,
+  diff/boundary.py): silhouettes blend over the surface behind them and
+  shadows use smooth edge coverage, giving FD-validated boundary
+  gradients (tests/test_boundary.py), and the fit recovers the cube's
+  pose.
 
 Run: python -m pathtracerpython_tpu.apps.fit_pose [--steps N]
+     python -m pathtracerpython_tpu.apps.fit_pose --object cube
 """
 
 from __future__ import annotations
@@ -81,6 +84,7 @@ def run(
     seed: int = 0,
     spp: int = 1,
     bounces: int = 1,
+    soft_beta: float = 0.05,
     log=print,
 ) -> dict:
     import jax
@@ -96,7 +100,12 @@ def run(
 
     os.makedirs(out_dir, exist_ok=True)
     scene = load_scene(scene_path)
-    cfg = RenderConfig(mode="fast", n_samples=spp, n_bounces=bounces)
+    # object mode needs boundary gradients -> soft estimator; light mode
+    # keeps the hard estimator (the light enters the NEE math smoothly)
+    cfg = RenderConfig(
+        mode="fast", n_samples=spp, n_bounces=bounces,
+        soft_vis_beta=soft_beta if object_name is not None else 0.0,
+    )
 
     if object_name is None:
         move = translate_light
@@ -176,14 +185,16 @@ def main(argv=None) -> int:
     p.add_argument("--scene", default="/root/reference/objs/cornellroom.sdl")
     p.add_argument("--object", default=None,
                    help="translate this object instead of the light "
-                        "(interior gradients are degenerate — see module doc)")
+                        "(runs the soft estimator for boundary gradients)")
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--soft-beta", type=float, default=0.05,
+                   help="soft-visibility edge width (object mode)")
     p.add_argument("--out", default="/tmp/fit_pose")
     args = p.parse_args(argv)
     run(
         scene_path=args.scene, object_name=args.object, steps=args.steps,
-        lr=args.lr, out_dir=args.out,
+        lr=args.lr, out_dir=args.out, soft_beta=args.soft_beta,
     )
     return 0
 

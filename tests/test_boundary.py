@@ -1,0 +1,183 @@
+"""Boundary-aware (soft) visibility gradients — diff/boundary.py.
+
+The round-1 gap (VERDICT item 2): hard visibility detaches, so an opaque
+occluder's translation had zero interior gradient. With
+``soft_vis_beta > 0`` the estimator is a continuous function of occluder
+vertices and central finite differences validate autodiff — both for
+shadows (soft NEE coverage) and silhouettes (front-hit blending).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracerpython_tpu.render.config import RenderConfig
+from pathtracerpython_tpu.render.integrator import render, render_rays
+from pathtracerpython_tpu.scene.arrays import pack_scene, recompute_derived
+from pathtracerpython_tpu.scene.obj import mesh_from_arrays
+from pathtracerpython_tpu.scene.sdl import SceneDescription, SdlObject
+
+
+def make_occluder_scene():
+    """Floor + overhead light + a small opaque blocker between them.
+
+    The blocker shadows part of the floor and its silhouette covers part
+    of the floor seen from the camera — both boundary terms in one scene.
+    """
+    floor = mesh_from_arrays(
+        [[-4.0, -1.0, 2.0], [4.0, -1.0, 2.0], [4.0, -1.0, -8.0],
+         [-4.0, -1.0, -8.0]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    blocker = mesh_from_arrays(
+        [[-0.4, 0.0, -2.4], [0.4, 0.0, -2.4], [0.4, 0.0, -1.6],
+         [-0.4, 0.0, -1.6]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    light = mesh_from_arrays(
+        [[-0.7, 1.5, -2.7], [0.7, 1.5, -2.7], [0.7, 1.5, -1.3],
+         [-0.7, 1.5, -1.3]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    desc = SceneDescription(
+        eye=(0.0, 0.8, 3.0),
+        width=12,
+        height=12,
+        ortho=(-1.0, -1.0, 1.0, 1.0),
+        ambient=0.3,
+        light_mesh=light,
+        light_color=(1.0, 1.0, 1.0),
+        objects=[
+            SdlObject(mesh=floor, rgb=(0.7, 0.7, 0.7), ka=0.3, kd=0.7,
+                      ks=0.0, kt=0.0, n=1.0),
+            SdlObject(mesh=blocker, rgb=(0.8, 0.2, 0.2), ka=0.3, kd=0.7,
+                      ks=0.0, kt=0.0, n=1.0),
+        ],
+    )
+    return pack_scene(desc)
+
+
+@pytest.fixture(scope="module")
+def occ_scene():
+    return make_occluder_scene()
+
+
+def translate_blocker(scene, dx):
+    """Shift the blocker (material row 1) by dx along x, differentiably."""
+    mask = ((scene.tri_material == 1) & scene.tri_valid).astype(
+        scene.tri_v0.dtype
+    )
+    shift = (mask * dx)[:, None] * jnp.asarray([1.0, 0.0, 0.0])
+    moved = dataclasses.replace(
+        scene,
+        tri_v0=scene.tri_v0 + shift,
+        tri_v1=scene.tri_v1 + shift,
+        tri_v2=scene.tri_v2 + shift,
+    )
+    return recompute_derived(moved)
+
+
+def scene_loss(scene, cfg, seed=0):
+    """Mean radiance of the scene's camera view (smooth in soft mode)."""
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+
+    w, h = scene.meta.width, scene.meta.height
+    o, d = make_primary_rays(scene.eye, scene.ortho, w, h)
+    pids = jnp.arange(w * h, dtype=jnp.int32)
+    rad = render_rays(o, d, pids, scene, cfg, seed)
+    return jnp.mean(rad)
+
+
+BETA = 0.05
+
+
+def occluder_loss_fn(occ_scene, cfg):
+    def f(dx):
+        return scene_loss(translate_blocker(occ_scene, dx), cfg)
+    return f
+
+
+def test_hard_estimator_has_no_boundary_gradient(occ_scene):
+    """Documents the gap soft mode fills: the hard estimator's gradient
+    w.r.t. an in-plane blocker translation is (near) zero."""
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2)
+    g = jax.grad(occluder_loss_fn(occ_scene, cfg))(0.0)
+    assert abs(float(g)) < 1e-6
+
+
+def test_soft_occluder_translation_grad_matches_fd(occ_scene):
+    """Central FD validates the soft-estimator gradient of an opaque
+    occluder's translation — the BASELINE config-4 case beyond the
+    smooth light-only gradients of round 1."""
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    f = occluder_loss_fn(occ_scene, cfg)
+    ad = float(jax.grad(f)(0.0))
+    eps = 2e-3  # << beta, stays within the smooth band
+    fd = (float(f(eps)) - float(f(-eps))) / (2 * eps)
+    assert abs(ad) > 1e-4, "boundary gradient should be nonzero"
+    np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=1e-5)
+
+
+def test_soft_grad_matches_fd_at_offsets(occ_scene):
+    """FD agreement also away from zero (the fit traverses these)."""
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    f = occluder_loss_fn(occ_scene, cfg)
+    for dx0 in (0.12, -0.2):
+        ad = float(jax.grad(f)(dx0))
+        eps = 2e-3
+        fd = (float(f(dx0 + eps)) - float(f(dx0 - eps))) / (2 * eps)
+        np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=2e-5)
+
+
+def test_soft_converges_to_hard(occ_scene):
+    """At tiny beta the soft render approaches the hard render (pixels
+    away from silhouette/shadow bands are essentially identical)."""
+    hard = np.asarray(render(
+        occ_scene, RenderConfig(mode="fast", n_bounces=1), seed=3
+    ))
+    soft = np.asarray(render(
+        occ_scene,
+        RenderConfig(mode="fast", n_bounces=1, soft_vis_beta=1e-4),
+        seed=3,
+    ))
+    close = np.isclose(hard, soft, rtol=1e-3, atol=1e-3).all(axis=1)
+    assert close.mean() > 0.9, close.mean()
+
+
+def test_soft_pose_fit_recovers_offset(occ_scene):
+    """An optimizer driven by soft-visibility gradients recovers a
+    0.3-unit blocker offset (the VERDICT 'done when' for this item)."""
+    import optax
+
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    target = render_target = None
+
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+
+    w, h = occ_scene.meta.width, occ_scene.meta.height
+    o, d = make_primary_rays(occ_scene.eye, occ_scene.ortho, w, h)
+    pids = jnp.arange(w * h, dtype=jnp.int32)
+    target = render_rays(o, d, pids, occ_scene, cfg, 5)
+
+    def loss(dx):
+        rad = render_rays(
+            o, d, pids, translate_blocker(occ_scene, dx), cfg, 5
+        )
+        return 0.5 * jnp.mean((rad - target) ** 2)
+
+    opt = optax.adam(0.05)
+    dx = jnp.asarray(0.3)
+    state = opt.init(dx)
+    step = jax.jit(
+        lambda dx, st: (lambda g: opt.update(g, st, dx))(jax.grad(loss)(dx))
+    )
+    for _ in range(60):
+        updates, state = step(dx, state)
+        dx = optax.apply_updates(dx, updates)
+    assert abs(float(dx)) < 1e-2, float(dx)
