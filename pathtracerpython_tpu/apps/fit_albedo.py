@@ -48,19 +48,14 @@ def run(
     if fit_emission:
         params["light_color"] = scene.light_color * 2.0
 
-    callback = None
-    if checkpoint_every > 0:
-        from pathtracerpython_tpu.utils import CheckpointManager
-
-        mgr = CheckpointManager(os.path.join(out_dir, "ckpt"))
-
-        def callback(i, p, loss):
-            if (i + 1) % checkpoint_every == 0:
-                mgr.save(i + 1, p)
-
+    # full-fidelity resume: fit() checkpoints params + optimizer state +
+    # RNG position, so a restart continues bit-identically
     params, losses = fit(
         params, optax.adam(lr), scene, cfg, target, steps=steps, seed=seed,
-        callback=callback,
+        checkpoint_dir=(
+            os.path.join(out_dir, "ckpt") if checkpoint_every > 0 else None
+        ),
+        checkpoint_every=checkpoint_every,
     )
 
     fitted = render(_apply(scene, params), cfg, seed=seed)

@@ -7,9 +7,11 @@ loops that fit scene parameters to target images.
 """
 
 from pathtracerpython_tpu.diff.inverse import (
+    CAMERA_FIELDS,
     PARAM_FIELDS,
     VERTEX_FIELDS,
     apply_params,
+    camera_pixel_loss,
     fit,
     make_render_fn,
     make_train_step,
@@ -17,9 +19,11 @@ from pathtracerpython_tpu.diff.inverse import (
 )
 
 __all__ = [
+    "CAMERA_FIELDS",
     "PARAM_FIELDS",
     "VERTEX_FIELDS",
     "apply_params",
+    "camera_pixel_loss",
     "fit",
     "make_render_fn",
     "make_train_step",

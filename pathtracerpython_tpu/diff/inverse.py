@@ -9,10 +9,15 @@ pytree, so it drops straight into ``jax.grad`` and optax). Supported:
 - emission (``light_color``, ``ambient``);
 - vertex buffers (``tri_v0/1/2``, ``light_v0/1/2``) — interior gradients
   through hit distance, shading point, and (via ``recompute_derived``)
-  normals and areas. Visibility discontinuities are handled by the
-  detached-sampling discipline of the integrator (discrete choices — hit
-  selection, BRDF branch, light-triangle pick — do not carry gradients);
-  boundary/edge terms are future work (SURVEY.md §7 step 4).
+  normals and areas. With the hard estimator, visibility discontinuities
+  follow the detached-sampling discipline (discrete choices — hit
+  selection, BRDF branch, light-triangle pick — carry no gradients);
+  setting ``RenderConfig.soft_vis_beta > 0`` switches to the
+  boundary-aware soft estimator (diff/boundary.py) whose silhouette and
+  shadow terms ARE differentiable in occluder vertex positions
+  (SURVEY.md §7 step 4, completed in round 2);
+- camera (``eye``, ``ortho``) — via in-loss primary-ray generation
+  (``camera_pixel_loss``).
 
 Gradient flow notes (what makes the integrator differentiable):
 - nearest-hit sweeps select a winner by ``argmin`` (non-differentiable
@@ -43,11 +48,14 @@ EMISSION_FIELDS = ("light_color", "ambient")
 VERTEX_FIELDS = (
     "tri_v0", "tri_v1", "tri_v2", "light_v0", "light_v1", "light_v2",
 )
-# Note: camera pose ("eye") is deliberately NOT a parameter — the training
-# step precomputes primary rays from the base scene, so an eye override
-# could not move the camera and would silently produce wrong gradients.
-# Camera-pose optimization needs in-loss ray generation (future work).
-PARAM_FIELDS = MATERIAL_FIELDS + EMISSION_FIELDS + VERTEX_FIELDS
+# Camera parameters (reference camera model: ``utils.py:55-69``). The
+# training step generates primary rays INSIDE the loss from the
+# parameterized scene (``camera_pixel_loss``), so ``eye`` / ``ortho``
+# overrides move the camera and carry gradients through ray origins and
+# directions into the hit solve. ``pixel_loss`` (caller-supplied rays)
+# cannot see camera overrides and rejects them.
+CAMERA_FIELDS = ("eye", "ortho")
+PARAM_FIELDS = MATERIAL_FIELDS + EMISSION_FIELDS + VERTEX_FIELDS + CAMERA_FIELDS
 
 _LIGHT_TO_TRI = {"light_v0": "tri_v0", "light_v1": "tri_v1",
                  "light_v2": "tri_v2"}
@@ -105,8 +113,36 @@ def pixel_loss(
     pixel_ids: jax.Array,
     key: jax.Array,
 ) -> jax.Array:
-    """0.5 · mean squared pixel error of the parameterized render vs target."""
+    """0.5 · mean squared pixel error of the parameterized render vs target
+    for a caller-supplied ray batch. Camera overrides are rejected here —
+    fixed rays could not react to them (use ``camera_pixel_loss``)."""
+    cam = [f for f in CAMERA_FIELDS if f in params]
+    if cam:
+        raise ValueError(
+            f"camera parameters {cam} need in-loss ray generation; "
+            "use camera_pixel_loss / make_train_step"
+        )
     scene = apply_params(base_scene, params)
+    radiance = render_fn(origins, directions, pixel_ids, scene, key)
+    return 0.5 * jnp.mean((radiance - target) ** 2)
+
+
+def camera_pixel_loss(
+    params: dict,
+    base_scene: SceneArrays,
+    target: jax.Array,
+    render_fn: Callable,
+    pixel_ids: jax.Array,
+    key: jax.Array,
+) -> jax.Array:
+    """Like ``pixel_loss`` but for the scene's own camera view, with
+    primary rays generated inside the loss — so ``eye`` and ``ortho``
+    are first-class differentiable parameters (gradients flow through
+    ray origins/directions into the Möller–Trumbore hit solve and the
+    shading geometry)."""
+    scene = apply_params(base_scene, params)
+    w, h = base_scene.meta.width, base_scene.meta.height
+    origins, directions = make_primary_rays(scene.eye, scene.ortho, w, h)
     radiance = render_fn(origins, directions, pixel_ids, scene, key)
     return 0.5 * jnp.mean((radiance - target) ** 2)
 
@@ -126,18 +162,18 @@ def make_train_step(
 
     value_and_grad through the (possibly shard_map'ed) renderer; on a mesh,
     parameter gradients are all-reduced by the shard_map transpose (psum
-    over the ray axes) — no hand-written collectives.
+    over the ray axes) — no hand-written collectives. Primary rays are
+    generated inside the loss (``camera_pixel_loss``), so camera params
+    (``eye``, ``ortho``) optimize like any other field.
     """
     w, h = base_scene.meta.width, base_scene.meta.height
-    origins, dirs = make_primary_rays(base_scene.eye, base_scene.ortho, w, h)
     pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
     render_fn = make_render_fn(cfg, mesh, dp_axis, geom_axis)
 
     @jax.jit
     def train_step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(pixel_loss)(
-            params, base_scene, target, render_fn,
-            origins, dirs, pixel_ids, key,
+        loss, grads = jax.value_and_grad(camera_pixel_loss)(
+            params, base_scene, target, render_fn, pixel_ids, key,
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -158,20 +194,53 @@ def fit(
     dp_axis="dp",
     geom_axis: str | None = None,
     callback=None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ):
-    """Run ``steps`` optimizer iterations; returns (params, losses list)."""
+    """Run ``steps`` optimizer iterations; returns (params, losses list).
+
+    With ``checkpoint_dir``, the FULL training state — params, optimizer
+    state, and the RNG key position — is checkpointed every
+    ``checkpoint_every`` steps and restored on restart, so an interrupted
+    fit resumed at step k produces bit-identical params to an
+    uninterrupted run (tests/test_diff.py gates this). ``losses`` covers
+    only the steps executed in this invocation.
+    """
     step_fn = make_train_step(
         optimizer, base_scene, cfg, target, mesh, dp_axis, geom_axis
     )
     opt_state = optimizer.init(params)
     key = jax.random.PRNGKey(seed)
+    start = 0
+
+    mgr = None
+    if checkpoint_dir is not None:
+        from pathtracerpython_tpu.utils import CheckpointManager
+
+        mgr = CheckpointManager(checkpoint_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            template = {"params": params, "opt_state": opt_state, "key": key}
+            state = mgr.restore(latest, template)
+            params, opt_state, key = (
+                state["params"], state["opt_state"], state["key"],
+            )
+            start = latest
+
     losses = []
-    for i in range(steps):
+    for i in range(start, steps):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step_fn(params, opt_state, sub)
         # keep the device scalar: float() here would sync every step and
         # stall dispatch of the next one
         losses.append(loss)
+        if (mgr is not None and checkpoint_every > 0
+                and (i + 1) % checkpoint_every == 0):
+            jax.block_until_ready((params, opt_state))
+            mgr.save(
+                i + 1,
+                {"params": params, "opt_state": opt_state, "key": key},
+            )
         if callback is not None:
             callback(i, params, float(loss))
     return params, [float(l) for l in losses]

@@ -227,6 +227,124 @@ def test_light_vertex_override_syncs_tri_buffer(flat_scene):
     )
 
 
+def camera_loss_fn(scene, cfg, seed=3):
+    """Loss of the scene's own camera view vs a fixed target, as a
+    function of a params dict — the in-loss ray-generation path."""
+    from pathtracerpython_tpu.diff import camera_pixel_loss
+    from pathtracerpython_tpu.render.integrator import render
+
+    target = render(scene, cfg, seed=seed)
+    pids = jnp.arange(
+        scene.meta.width * scene.meta.height, dtype=jnp.int32
+    )
+    key = jax.random.PRNGKey(seed)
+    render_fn = make_render_fn(cfg)
+
+    def f(p):
+        return camera_pixel_loss(p, scene, target, render_fn, pids, key)
+
+    return f
+
+
+@pytest.mark.parametrize("index", [0, 1, 2])
+def test_camera_eye_grad_matches_fd(flat_scene, index):
+    """d(loss)/d(eye) via autodiff == central finite differences: the
+    in-loss primary-ray generation makes camera pose a real parameter
+    (VERDICT round-1 item 4; reference camera model utils.py:55-69)."""
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       n_light_samples=2)
+    f = camera_loss_fn(flat_scene, cfg)
+    # perturbed start so the loss is nonzero and grads are informative
+    params = {"eye": flat_scene.eye + jnp.asarray([0.03, -0.02, 0.05])}
+    ad = np.asarray(jax.grad(f)(params)["eye"])[index]
+    fd = float(central_fd(f, params, "eye", (index,), 2e-3))
+    assert np.isfinite(ad)
+    np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=5e-5)
+
+
+def test_camera_ortho_grad_matches_fd(flat_scene):
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       n_light_samples=2)
+    f = camera_loss_fn(flat_scene, cfg)
+    params = {"ortho": flat_scene.ortho + jnp.asarray([0.02, 0.0, -0.03, 0.01])}
+    ad = np.asarray(jax.grad(f)(params)["ortho"])[2]
+    fd = float(central_fd(f, params, "ortho", (2,), 2e-3))
+    np.testing.assert_allclose(ad, fd, rtol=5e-2, atol=5e-5)
+
+
+def test_camera_fit_recovers_eye(flat_scene):
+    """Gradient descent on the eye position recovers the true camera.
+
+    Target and loss share ONE RNG key, so the loss is a deterministic
+    function with its global minimum (zero) exactly at the true eye —
+    ``fit()``'s per-step key splitting would add an MC-noise floor that
+    only more spp could remove (the demo app uses spp=2 for that)."""
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       n_light_samples=2)
+    f = camera_loss_fn(flat_scene, cfg)
+    offset = jnp.asarray([0.08, -0.06, 0.1])
+    params = {"eye": flat_scene.eye + offset}
+    opt = optax.adam(0.02)
+    state = opt.init(params)
+    step = jax.jit(
+        lambda p, st: (lambda lg: (lg[0], *opt.update(lg[1], st, p)))(
+            jax.value_and_grad(f)(p)
+        )
+    )
+    for _ in range(100):
+        loss, updates, state = step(params, state)
+        params = optax.apply_updates(params, updates)
+    err0 = float(jnp.abs(offset).max())
+    err = float(jnp.abs(params["eye"] - flat_scene.eye).max())
+    # gate on EYE error, not loss: the scalar loss is dominated by
+    # pixel-coverage terms that change discretely as silhouettes cross
+    # pixel centers, so it plateaus while the smooth interior gradient
+    # still drives the eye toward the truth (observed: 0.10 -> 0.02 in
+    # 100 steps while the loss sits on a discrete plateau)
+    assert np.isfinite(float(loss))
+    assert err < err0 * 0.35, (err0, err)
+
+
+def test_pixel_loss_rejects_camera_params(flat_scene):
+    cfg = RenderConfig(mode="fast")
+    origins, dirs = center_rays()
+    pids = jnp.arange(origins.shape[0], dtype=jnp.int32)
+    with pytest.raises(ValueError, match="camera"):
+        pixel_loss(
+            {"eye": flat_scene.eye}, flat_scene,
+            jnp.zeros((origins.shape[0], 3)), make_render_fn(cfg),
+            origins, dirs, pids, jax.random.PRNGKey(0),
+        )
+
+
+def test_fit_resume_bitmatch(flat_scene, tmp_path):
+    """Interrupt-and-resume at step k == uninterrupted run, bit for bit
+    (params + optimizer state + RNG position are all checkpointed)."""
+    from pathtracerpython_tpu.render.integrator import render
+
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       n_light_samples=2)
+    target = render(flat_scene, cfg, seed=9)
+    opt = optax.adam(0.05)
+    init = {"mat_rgb": flat_scene.mat_rgb * 0.5}
+
+    p_full, _ = fit(dict(init), opt, flat_scene, cfg, target, steps=6, seed=9)
+
+    ck = str(tmp_path / "ck")
+    # "interrupted" run: only executes steps 1..4 (checkpoint at 2 and 4)
+    fit(dict(init), opt, flat_scene, cfg, target, steps=4, seed=9,
+        checkpoint_dir=ck, checkpoint_every=2)
+    # resume: restores step-4 state, runs 5..6
+    p_res, losses_res = fit(
+        dict(init), opt, flat_scene, cfg, target, steps=6, seed=9,
+        checkpoint_dir=ck, checkpoint_every=2,
+    )
+    assert len(losses_res) == 2  # only the resumed steps ran
+    np.testing.assert_array_equal(
+        np.asarray(p_full["mat_rgb"]), np.asarray(p_res["mat_rgb"])
+    )
+
+
 def test_light_rows_survive_morton(cornell_sdl):
     import numpy as np
 
