@@ -1,0 +1,609 @@
+"""Cluster-sparse intersection sweeps — the acceleration hierarchy.
+
+The dense megakernels (``kernels/intersect_pallas.py``) test every ray
+block against every triangle block: O(N·T) work that replaces, but does
+not beat, the reference's brute-force scan (``/root/reference/main.py:
+94-109``). This module adds the TPU-native hierarchy for large scenes:
+
+- **clusters**: the (morton-ordered) triangle buffer is cut into
+  ``c_tri``-triangle clusters with XLA-computed AABBs — the leaf level of
+  a two-level hierarchy whose top level is the candidate list below;
+- **candidate lists (XLA)**: per ray block, a conservative interval slab
+  test of the block's (origin-box × direction-box) ray family against
+  every cluster AABB yields the clusters any ray in the block could hit,
+  **sorted front-to-back** by conservative entry distance (``lax.top_k``
+  on the entry bound) and compacted into a flat work list;
+- **sparse sweep (Pallas)**: the kernel grid iterates the work list; a
+  ``PrefetchScalarGridSpec`` lets the BlockSpec index maps read it from
+  SMEM, so only candidate clusters are ever DMA'd. Each work item is
+  PACKED into one int32 word — [seg 1][active 1][rb 14][cl 12] — because
+  the prefetch arrays live in SMEM (~1 MB total): one word per item
+  keeps six-figure work lists inside the budget. In-kernel, a per-ray
+  slab test against the cluster AABB skips the Möller–Trumbore tile
+  unless some ray still needs it (``entry < best_t`` — front-to-back
+  order makes this an early-termination test, the classic BVH benefit);
+- **fallback**: candidate overflow (pathological incoherence) falls back
+  under ``lax.cond`` to an XLA tile-scan sweep — never drops a
+  candidate, so results stay exact, and nothing expensive compiles (the
+  dense megakernel's compile at 100k triangles is minutes; the XLA scan
+  and the sparse kernel compile in seconds).
+
+Ray-block coherence is the performance model: the integrator re-sorts
+the wavefront by (octant, origin, direction) morton keys each bounce
+(ops/sort.py) so candidate lists stay short.
+
+Result contract: identical to the dense kernels (bit-identical on the
+sparse path; the XLA fallback computes the same Möller–Trumbore math in
+XLA's own scheduling). The winner is the lexicographic minimum over
+(t, global triangle index) — exactly the dense sweep's ascending-index,
+strict-less-than tie-break (= the reference's first-minimum ``min``,
+``main.py:115``), but order-independent so candidate order cannot
+change it.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracerpython_tpu.kernels.intersect_pallas import (
+    BIG,
+    _interpret,
+    _mt_block,
+    _nearest_bwd,
+    _pad_dim,
+    pack_triangles,
+)
+from pathtracerpython_tpu.ops.geometry import intersect_moller
+
+IMAX = 2**31 - 1
+
+# Defaults, tuned on the v5e (see docs/PERFORMANCE.md "Large scenes").
+C_TRI = 128       # triangles per cluster (leaf granularity)
+R_BLK = 1024      # rays per block
+MAXC = 512        # top_k cap on candidates per ray block
+W_PER_RB = 128    # work-list slots per ray block before the SMEM cap
+W_SMEM_ENTRIES = 131072  # hard cap: packed items are 4 B each in SMEM
+SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
+
+# packed work-item layout: [seg 1][active 1][rb 14][cl 12]
+_CL_BITS = 12
+_RB_BITS = 14
+_ACT_BIT = _CL_BITS + _RB_BITS        # 26
+_SEG_BIT = _ACT_BIT + 1               # 27
+
+# "auto" accel threshold: below this padded triangle count the dense sweep
+# is already a handful of blocks and the candidate machinery cannot pay.
+SPARSE_MIN_TRIS = 4096
+
+
+def use_sparse(accel: str, n_padded_tris: int) -> bool:
+    """Dispatch rule shared by the geometry entry points and the NEE
+    fused-kernel gate (render/integrator.py)."""
+    if accel == "sparse":
+        return True
+    return accel == "auto" and n_padded_tris >= SPARSE_MIN_TRIS
+
+
+def cluster_aabbs(tripack: jax.Array, c_tri: int) -> jax.Array:
+    """Per-cluster AABBs f32[C, 8] = (min.xyz | max.xyz | 0 | 0), masking
+    invalid (padding) lanes; empty clusters get an inverted box."""
+    t = tripack.shape[0]
+    c = t // c_tri
+    tp = tripack.reshape(c, c_tri, 12)
+    valid = (tp[:, :, 9:10] > 0.5)[..., None]
+    vs = tp[:, :, 0:9].reshape(c, c_tri, 3, 3)
+    vmin = jnp.min(jnp.where(valid, vs, BIG), axis=(1, 2))
+    vmax = jnp.max(jnp.where(valid, vs, -BIG), axis=(1, 2))
+    return jnp.concatenate(
+        [vmin, vmax, jnp.zeros((c, 2), tripack.dtype)], axis=1
+    )
+
+
+def candidate_worklist(
+    aabb8: jax.Array, o3p: jax.Array, d3p: jax.Array, tmax_rb: jax.Array,
+    *, r_blk: int, maxc: int, w_cap: int,
+):
+    """Conservative per-ray-block candidate clusters, front-to-back.
+
+    The slab test runs on the interval family {origin ∈ block origin box,
+    direction ∈ block direction box}: with per-axis numerator interval
+    [blo - ohi, bhi - olo] and inverse-direction interval endpoints, the
+    4 endpoint products bound every ray's slab crossing times, so
+    ``enter_lo = max_k lo_k > exit_hi = min_k hi_k`` proves NO ray in the
+    block hits the cluster (safe to cull). An axis whose direction
+    interval straddles zero gives no constraint — which is why the
+    integrator sorts rays into direction-coherent blocks first.
+
+    Returns (packed work list i32[w_cap], ncand i32[nrb], overflow bool);
+    ``overflow`` true means the caller must use the exact fallback.
+    """
+    c = aabb8.shape[0]
+    nrb = o3p.shape[1] // r_blk
+    o = o3p.reshape(3, nrb, r_blk)
+    d = d3p.reshape(3, nrb, r_blk)
+    olo, ohi = o.min(axis=2), o.max(axis=2)   # [3, nrb]
+    dlo, dhi = d.min(axis=2), d.max(axis=2)
+    blo = aabb8[:, 0:3].T                     # [3, c]
+    bhi = aabb8[:, 3:6].T
+    nonempty = aabb8[:, 0] <= aabb8[:, 3]     # [c]
+
+    enter = jnp.full((nrb, c), -BIG, o3p.dtype)
+    exit_ = jnp.full((nrb, c), BIG, o3p.dtype)
+    for k in range(3):
+        n1 = blo[k][None, :] - ohi[k][:, None]   # [nrb, c] numerator lo
+        n2 = bhi[k][None, :] - olo[k][:, None]   # numerator hi (n1 <= n2)
+        straddles = (dlo[k] <= 0.0) & (dhi[k] >= 0.0)  # [nrb]
+
+        def safe_inv(x):
+            ax = jnp.maximum(jnp.abs(x), 1e-12)
+            return jnp.sign(jnp.where(x == 0.0, 1.0, x)) / ax
+
+        i1 = safe_inv(dlo[k])[:, None]
+        i2 = safe_inv(dhi[k])[:, None]
+        p11, p12, p21, p22 = n1 * i1, n1 * i2, n2 * i1, n2 * i2
+        lo_k = jnp.minimum(jnp.minimum(p11, p12), jnp.minimum(p21, p22))
+        hi_k = jnp.maximum(jnp.maximum(p11, p12), jnp.maximum(p21, p22))
+        lo_k = jnp.where(straddles[:, None], -BIG, lo_k)
+        hi_k = jnp.where(straddles[:, None], BIG, hi_k)
+        enter = jnp.maximum(enter, lo_k)
+        exit_ = jnp.minimum(exit_, hi_k)
+
+    hit = (
+        nonempty[None, :]
+        & (enter <= exit_ + SLAB_EPS)
+        & (exit_ >= -SLAB_EPS)
+        & (enter <= tmax_rb[:, None] + SLAB_EPS)
+    )
+
+    # front-to-back compaction: top_k of negative entry bound = the maxc
+    # nearest candidate clusters per block, already sorted by entry
+    mc = min(maxc, c)
+    key = jnp.where(hit, jnp.maximum(enter, 0.0), BIG)
+    _, idxs = lax.top_k(-key, mc)                       # [nrb, mc]
+    ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
+    ncand = jnp.minimum(ncand_full, mc)
+
+    offsets = jnp.cumsum(ncand) - ncand
+    total = jnp.sum(ncand)
+    slot = jnp.arange(mc, dtype=jnp.int32)[None, :]
+    in_list = slot < ncand[:, None]
+    pos = jnp.where(in_list, offsets[:, None] + slot, w_cap)  # drop sentinel
+    rb_ids = jnp.broadcast_to(
+        jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
+    )
+    word = (
+        idxs.astype(jnp.int32)
+        | (rb_ids << _CL_BITS)
+        | (1 << _ACT_BIT)
+        | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
+    )
+    packed = jnp.zeros(w_cap, jnp.int32).at[pos.ravel()].set(
+        word.ravel(), mode="drop"
+    )
+
+    # pad the tail with repeats of the last real pair (same block indices
+    # -> no extra DMAs), active and seg bits cleared
+    iw = jnp.arange(w_cap, dtype=jnp.int32)
+    last = jnp.maximum(total - 1, 0)
+    tail_word = packed[last] & ~((1 << _ACT_BIT) | (1 << _SEG_BIT))
+    packed = jnp.where(iw < total, packed, tail_word)
+
+    overflow = jnp.any(ncand_full > mc) | (total > w_cap)
+    return packed, ncand, overflow
+
+
+def _slab_rows(aabb_ref, o_rows, d_rows):
+    """Per-ray slab test vs one cluster AABB ((1, 1, 8) SMEM ref).
+
+    Returns (hit [1, R] bool, enter [1, R]) — enter clamped to >= 0.
+    Empty (inverted) cluster boxes fail for every lane.
+    """
+    enter = None
+    exit_ = None
+    for k in range(3):
+        d_k = d_rows[k]
+        safe_d = jnp.where(
+            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
+        )
+        inv = 1.0 / safe_d
+        lo = (aabb_ref[0, 0, k] - o_rows[k]) * inv
+        hi = (aabb_ref[0, 0, k + 3] - o_rows[k]) * inv
+        tn = jnp.minimum(lo, hi)
+        tf = jnp.maximum(lo, hi)
+        enter = tn if enter is None else jnp.maximum(enter, tn)
+        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    hit = (exit_ >= jnp.maximum(enter, 0.0) - SLAB_EPS)
+    return hit, jnp.maximum(enter, 0.0)
+
+
+def _ray_rows(ref):
+    return [ref[k:k + 1, :] for k in range(3)]
+
+
+def _decode(word):
+    cl = word & ((1 << _CL_BITS) - 1)
+    rb = (word >> _CL_BITS) & ((1 << _RB_BITS) - 1)
+    active = (word >> _ACT_BIT) & 1
+    seg = (word >> _SEG_BIT) & 1
+    return cl, rb, active, seg
+
+
+def _sparse_nearest_kernel(
+    pref, tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out,
+):
+    w = pl.program_id(0)
+    cl, _, active, seg = _decode(pref[w])
+
+    @pl.when(seg == 1)
+    def _():
+        t_out[:] = jnp.full_like(t_out, BIG)
+        idx_out[:] = jnp.full_like(idx_out, -1)
+
+    @pl.when(active == 1)
+    def _():
+        hit_l, enter = _slab_rows(aabb_ref, _ray_rows(o_ref), _ray_rows(d_ref))
+        needed = hit_l & (enter < t_out[:] + SLAB_EPS)
+
+        @pl.when(jnp.any(needed))
+        def _():
+            hit, t = _mt_block(tri_ref, o_ref, d_ref)
+            key = jnp.where(hit, t, BIG)
+            tile_min = jnp.min(key, axis=0, keepdims=True)      # [1, R]
+            n_t = tri_ref.shape[0]
+            gidx = (
+                jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+                + cl * n_t
+            )
+            cand = jnp.where((key == tile_min) & hit, gidx, IMAX)
+            tile_idx = jnp.min(cand, axis=0, keepdims=True)     # [1, R]
+            # lexicographic (t, index) minimum: order-independent, equals
+            # the dense sweep's ascending-index strict-< tie-break
+            better = (tile_idx != IMAX) & (
+                (tile_min < t_out[:])
+                | ((tile_min == t_out[:]) & (tile_idx < idx_out[:]))
+            )
+            t_out[:] = jnp.where(better, tile_min, t_out[:])
+            idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+
+
+def _sparse_any_hit_kernel(
+    pref, tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out,
+):
+    w = pl.program_id(0)
+    _, _, active, seg = _decode(pref[w])
+
+    @pl.when(seg == 1)
+    def _():
+        occ_out[:] = jnp.zeros_like(occ_out)
+
+    @pl.when(active == 1)
+    def _():
+        hit_l, enter = _slab_rows(aabb_ref, _ray_rows(o_ref), _ray_rows(d_ref))
+        needed = hit_l & (enter < maxd_ref[:] + SLAB_EPS) & (occ_out[:] < 0.5)
+
+        @pl.when(jnp.any(needed))
+        def _():
+            hit, t = _mt_block(tri_ref, o_ref, d_ref)
+            occluder = tri_ref[:, 10:11] > 0.5
+            blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
+            any_block = jnp.max(
+                jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+            )
+            occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+
+def _sparse_grid_spec(w_cap, c_tri, r_blk, *, n_outs, n_extra_ray_ins=0):
+    def cl_of(p, w):
+        return p[w] & ((1 << _CL_BITS) - 1)
+
+    def rb_of(p, w):
+        return (p[w] >> _CL_BITS) & ((1 << _RB_BITS) - 1)
+
+    tri_spec = pl.BlockSpec(
+        (c_tri, 12), lambda w, p: (cl_of(p, w), 0),
+        memory_space=pltpu.VMEM,
+    )
+    # (1, 1, 8) over [C, 1, 8]: the TPU lowering requires the last two
+    # block dims to equal the array dims when not tile-aligned (same
+    # trick as the dense kernel's aabb operand)
+    aabb_spec = pl.BlockSpec(
+        (1, 1, 8), lambda w, p: (cl_of(p, w), 0, 0),
+        memory_space=pltpu.SMEM,
+    )
+    ray_spec = pl.BlockSpec(
+        (3, r_blk), lambda w, p: (0, rb_of(p, w)),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, r_blk), lambda w, p: (0, rb_of(p, w)),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec]
+    in_specs += [row_spec] * n_extra_ray_ins
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(w_cap,),
+        in_specs=in_specs,
+        out_specs=[row_spec] * n_outs,
+    )
+
+
+def _visited_mask(ncand, r_blk, n):
+    return jnp.repeat(ncand > 0, r_blk, total_repeat_length=n)
+
+
+def _pad_repeat_last(x, mult):
+    """Pad the minor axis to a multiple of ``mult`` by repeating the last
+    column — keeps the padded block's ray bounds tight (a 1e6-style pad
+    ray would blow up the last block's frustum and its candidate list)."""
+    n = x.shape[-1]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    tail = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))
+    return jnp.concatenate([x, tail], axis=-1)
+
+
+def _w_cap(nrb: int, w_per_rb: int) -> int:
+    return min(nrb * w_per_rb, W_SMEM_ENTRIES)
+
+
+def _check_limits(nrb: int, n_clusters: int) -> None:
+    assert n_clusters <= (1 << _CL_BITS), (
+        f"{n_clusters} clusters exceed the packed work-item field; raise "
+        "c_tri or shard geometry over a mesh axis (parallel/ring.py)"
+    )
+    assert nrb <= (1 << _RB_BITS), (
+        f"{nrb} ray blocks exceed the packed work-item field; chunk the "
+        "wavefront (utils.render_progressive) or raise r_blk"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact XLA fallback sweeps (fast to compile at any scene size; used when
+# the candidate list overflows its caps). Rays are chunked with an outer
+# scan: even a never-taken lax.cond branch is allocated statically, so the
+# [rays, tile] intermediates must stay bounded regardless of wavefront
+# size (a flat sweep at 1.5M rays × 512-tri tiles plans 3 GB buffers).
+
+_XLA_CHUNK = 32768
+_XLA_TILE = 512
+
+
+def _chunked(o3, extra, fn):
+    n = o3.shape[1]
+    chunk = min(n, _XLA_CHUNK)
+    o3p = _pad_repeat_last(o3, chunk)
+    extra_p = [_pad_repeat_last(e, chunk) for e in extra]
+    k = o3p.shape[1] // chunk
+    xs = tuple(
+        jnp.moveaxis(x.reshape(x.shape[:-1] + (k, chunk)), -2, 0)
+        for x in (o3p, *extra_p)
+    )
+    out = lax.map(fn, xs)
+    if isinstance(out, tuple):
+        return tuple(o.reshape(-1)[:n] for o in out)
+    return out.reshape(-1)[:n]
+
+
+def _xla_nearest_t_idx(o3, d3, tripack):
+    T = tripack.shape[0]
+    starts = jnp.arange(T // _XLA_TILE, dtype=jnp.int32) * _XLA_TILE
+
+    def one_chunk(args):
+        oc, dc = args
+        o = oc.T[:, None, :]
+        d = dc.T[:, None, :]
+        nc = oc.shape[1]
+
+        def body(carry, start):
+            best_t, best_idx = carry
+            blk = lax.dynamic_slice_in_dim(tripack, start, _XLA_TILE, axis=0)
+            hit, t = intersect_moller(
+                o, d, blk[None, :, 0:3], blk[None, :, 3:6], blk[None, :, 6:9]
+            )
+            hit = hit & (blk[None, :, 9] > 0.5)
+            key = jnp.where(hit, t, BIG)
+            tidx = jnp.arange(_XLA_TILE, dtype=jnp.int32)[None, :] + start
+            kidx = jnp.where(hit, tidx, IMAX)
+            tile_min = jnp.min(key, axis=1)
+            tile_idx = jnp.min(
+                jnp.where(key == tile_min[:, None], kidx, IMAX), axis=1
+            )
+            better = (tile_idx != IMAX) & (
+                (tile_min < best_t)
+                | ((tile_min == best_t) & (tile_idx < best_idx))
+            )
+            return (
+                jnp.where(better, tile_min, best_t),
+                jnp.where(better, tile_idx, best_idx),
+            ), None
+
+        init = (
+            jnp.full((nc,), BIG, oc.dtype), jnp.full((nc,), -1, jnp.int32)
+        )
+        return lax.scan(body, init, starts)[0]
+
+    return _chunked(o3, [d3], one_chunk)
+
+
+def _xla_any_hit(o3, d3, maxd, tripack):
+    T = tripack.shape[0]
+    starts = jnp.arange(T // _XLA_TILE, dtype=jnp.int32) * _XLA_TILE
+
+    def one_chunk(args):
+        oc, dc, mc = args
+        o = oc.T[:, None, :]
+        d = dc.T[:, None, :]
+        md = mc[0]
+
+        def body(occ, start):
+            blk = lax.dynamic_slice_in_dim(tripack, start, _XLA_TILE, axis=0)
+            hit, t = intersect_moller(
+                o, d, blk[None, :, 0:3], blk[None, :, 3:6], blk[None, :, 6:9]
+            )
+            blocking = (
+                hit & (blk[None, :, 10] > 0.5) & (t < md[:, None] - 1e-4)
+            )
+            return occ | jnp.any(blocking, axis=1), None
+
+        init = jnp.zeros((oc.shape[1],), bool)
+        return lax.scan(body, init, starts)[0]
+
+    return _chunked(o3, [d3, maxd[None, :]], one_chunk)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sparse_nearest(o3, d3, tripack, statics):
+    return _sparse_nearest_impl(o3, d3, tripack, statics)
+
+
+def _sparse_nearest_impl(o3, d3, tripack, statics):
+    c_tri, r_blk, maxc, w_per_rb = statics
+    sg = lax.stop_gradient
+    o3s, d3s, tps = sg(o3), sg(d3), sg(tripack)
+    n = o3.shape[1]
+    nrb = n // r_blk
+    n_clusters = tps.shape[0] // c_tri
+    _check_limits(nrb, n_clusters)
+    w_cap = _w_cap(nrb, w_per_rb)
+    aabb8 = cluster_aabbs(tps, c_tri)
+    tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
+    packed, ncand, overflow = candidate_worklist(
+        aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+    )
+
+    def sparse_branch(_):
+        t_out, idx_out = pl.pallas_call(
+            _sparse_nearest_kernel,
+            grid_spec=_sparse_grid_spec(w_cap, c_tri, r_blk, n_outs=2),
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n), o3.dtype),
+                jax.ShapeDtypeStruct((1, n), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=90 * w_cap * c_tri * r_blk,
+                bytes_accessed=(n * 6 + w_cap * c_tri * 12) * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(packed, tps, aabb8[:, None, :], o3s, d3s)
+        visited = _visited_mask(ncand, r_blk, n)
+        return (
+            jnp.where(visited, t_out[0], BIG),
+            jnp.where(visited, idx_out[0], -1),
+        )
+
+    def fallback_branch(_):
+        return _xla_nearest_t_idx(o3s, d3s, tps)
+
+    return lax.cond(overflow, fallback_branch, sparse_branch, None)
+
+
+def _sparse_nearest_fwd(o3, d3, tripack, statics):
+    t, idx = _sparse_nearest(o3, d3, tripack, statics)
+    return (t, idx), (o3, d3, tripack, idx)
+
+
+def _sparse_nearest_bwd(statics, res, cots):
+    return _nearest_bwd(res, cots)
+
+
+_sparse_nearest.defvjp(_sparse_nearest_fwd, _sparse_nearest_bwd)
+
+
+def _sparse_any_hit(o3, d3, maxd, tripack, statics):
+    """Occlusion is binary -> fully detached (inputs are stop_gradient'ed
+    by the caller); no custom_vjp needed."""
+    c_tri, r_blk, maxc, w_per_rb = statics
+    n = o3.shape[1]
+    nrb = n // r_blk
+    n_clusters = tripack.shape[0] // c_tri
+    _check_limits(nrb, n_clusters)
+    w_cap = _w_cap(nrb, w_per_rb)
+    aabb8 = cluster_aabbs(tripack, c_tri)
+    tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
+    packed, ncand, overflow = candidate_worklist(
+        aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+    )
+    maxd_row = maxd[None, :]
+
+    def sparse_branch(_):
+        occ = pl.pallas_call(
+            _sparse_any_hit_kernel,
+            grid_spec=_sparse_grid_spec(
+                w_cap, c_tri, r_blk, n_outs=1, n_extra_ray_ins=1,
+            ),
+            out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
+            cost_estimate=pl.CostEstimate(
+                flops=90 * w_cap * c_tri * r_blk,
+                bytes_accessed=(n * 7 + w_cap * c_tri * 12) * 4,
+                transcendentals=0,
+            ),
+            interpret=_interpret(),
+        )(packed, tripack, aabb8[:, None, :], o3, d3, maxd_row)[0]
+        visited = _visited_mask(ncand, r_blk, n)
+        return jnp.where(visited, occ[0] > 0.5, False)
+
+    def fallback_branch(_):
+        return _xla_any_hit(o3, d3, maxd, tripack)
+
+    return lax.cond(overflow, fallback_branch, sparse_branch, None)
+
+
+def _pack_for_sparse(scene, c_tri):
+    # pad to a multiple of BOTH the cluster size and the dense kernel's
+    # 512-triangle block (other paths may consume the same pack shape);
+    # c_tri must divide 512 so 512 covers both — except c_tri > 512,
+    # which is its own multiple
+    assert c_tri <= 512 and 512 % c_tri == 0, f"c_tri={c_tri}"
+    tripack = pack_triangles(
+        scene.tri_v0, scene.tri_v1, scene.tri_v2,
+        scene.tri_valid, scene.tri_occluder,
+    )
+    return _pad_dim(tripack, 512, axis=0)
+
+
+def sparse_nearest_t_idx_cm(
+    o3, d3_unit, scene, *,
+    c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
+    w_per_rb: int = W_PER_RB,
+):
+    """Component-major sparse nearest hit. o3/d3_unit f32[3, N] (N
+    unpadded, d3_unit normalized). Returns (t [N] — 0 on miss,
+    idx [N] — -1 on miss), equal to the dense kernel's result."""
+    n = o3.shape[1]
+    tripack = _pack_for_sparse(scene, c_tri)
+    o3p = _pad_repeat_last(o3, r_blk)
+    d3p = _pad_repeat_last(d3_unit, r_blk)
+    statics = (c_tri, r_blk, maxc, w_per_rb)
+    t, idx = _sparse_nearest(o3p, d3p, tripack, statics)
+    t, idx = t[:n], idx[:n]
+    return jnp.where(idx >= 0, t, 0.0), idx
+
+
+def sparse_any_hit_cm(
+    o3, d3_unit, max_dist, scene, *,
+    c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
+    w_per_rb: int = W_PER_RB,
+):
+    """Component-major sparse shadow occlusion; detached from autodiff."""
+    n = o3.shape[1]
+    sg = lax.stop_gradient
+    tripack = sg(_pack_for_sparse(scene, c_tri))
+    o3p = _pad_repeat_last(sg(o3), r_blk)
+    d3p = _pad_repeat_last(sg(d3_unit), r_blk)
+    maxd = _pad_repeat_last(sg(max_dist)[None, :], r_blk)[0]
+    statics = (c_tri, r_blk, maxc, w_per_rb)
+    return _sparse_any_hit(o3p, d3p, maxd, tripack, statics)[:n]

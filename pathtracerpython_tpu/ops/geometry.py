@@ -329,18 +329,28 @@ def nearest_hit_cm(
     o3, d3, scene: SceneArrays,
     mode: str = "fast", tile: int = 128, backend: str = "xla",
     geom_axis: str | None = None, geom_axis_size: int = 0,
+    accel: str = "none",
 ) -> NearestHitCM:
     """Component-major closest hit. Fast+pallas path is transpose-free;
-    other paths adapt through the row-major sweeps (correctness paths)."""
+    other paths adapt through the row-major sweeps (correctness paths).
+    ``accel`` selects the cluster-sparse hierarchy for large scenes
+    (kernels/sparse_pallas.py) — bit-identical results either way."""
     if backend == "pallas" and mode == "fast" and geom_axis is None:
         from pathtracerpython_tpu.kernels.intersect_pallas import (
             nearest_t_idx_cm,
+        )
+        from pathtracerpython_tpu.kernels.sparse_pallas import (
+            sparse_nearest_t_idx_cm,
+            use_sparse,
         )
 
         from pathtracerpython_tpu.ops.gather import cm_take
 
         d3u = normalize3(d3)
-        t, idx = nearest_t_idx_cm(o3, d3u, scene)
+        if use_sparse(accel, scene.num_padded_triangles):
+            t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
+        else:
+            t, idx = nearest_t_idx_cm(o3, d3u, scene)
         found = idx >= 0
         safe_idx = jnp.maximum(idx, 0)
         point3 = o3 + d3u * t[None, :]
@@ -370,13 +380,20 @@ def any_hit_within_cm(
     o3, d3_unit, max_dist, scene: SceneArrays,
     mode: str = "fast", tile: int = 128, backend: str = "xla",
     geom_axis: str | None = None, geom_axis_size: int = 0,
+    accel: str = "none",
 ) -> jax.Array:
     """Component-major shadow occlusion; ``d3_unit`` must be normalized."""
     if backend == "pallas" and mode == "fast" and geom_axis is None:
         from pathtracerpython_tpu.kernels.intersect_pallas import (
             any_hit_pallas_cm,
         )
+        from pathtracerpython_tpu.kernels.sparse_pallas import (
+            sparse_any_hit_cm,
+            use_sparse,
+        )
 
+        if use_sparse(accel, scene.num_padded_triangles):
+            return sparse_any_hit_cm(o3, d3_unit, max_dist, scene)
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)
     return any_hit_within(
         o3.T, d3_unit.T, max_dist, scene, mode=mode, tile=tile,

@@ -21,6 +21,28 @@ class RenderConfig:
     """
 
     mode: str = "fast"
+    # Acceleration hierarchy (kernels/sparse_pallas.py): "auto" engages the
+    # cluster-sparse sweeps for large scenes (>= SPARSE_MIN_TRIS padded
+    # triangles) on the fast+pallas path; "sparse" forces them; "none"
+    # keeps the dense megakernels. Results are bit-identical either way.
+    accel: str = "auto"
+    # Per-bounce wavefront re-sorting by (direction octant, origin morton)
+    # so sparse-sweep ray blocks stay coherent after scattering
+    # (ops/sort.py). "auto" follows the accel decision; bit-identical
+    # output either way (pure lane permutation).
+    sort_rays: str = "auto"
+    # Opt-in SDL field honoring (CLI --honor-sdl): miss lanes pay the
+    # scene's parsed ``background`` color (× path throughput) instead of
+    # black. The reference parses background but ignores it
+    # (scene_reader.py:165-170); default off keeps reference semantics.
+    use_background: bool = False
+    # Boundary-aware gradients (diff/boundary.py): > 0 switches the fast
+    # estimator to SOFT visibility with edge-coverage width ``beta`` in
+    # world units — silhouettes blend over the surface behind them and
+    # shadows use smooth coverage, making radiance differentiable w.r.t.
+    # occluder vertex positions (the inverse-rendering fit path; converges
+    # to the hard estimator as beta -> 0). 0 = hard visibility.
+    soft_vis_beta: float = 0.0
     n_samples: int = 1        # rays per pixel (the reference CLI's -r)
     n_bounces: int = 1        # bounces      (the reference CLI's -b)
     n_light_samples: int = 3  # NEE samples  (main.py:23 default arg)
@@ -39,6 +61,12 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
+        assert self.accel in ("auto", "sparse", "none"), self.accel
+        assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
+        assert self.soft_vis_beta >= 0.0
+        assert not (self.soft_vis_beta > 0.0 and self.mode == "reference"), (
+            "soft visibility is a fast-mode (differentiable) feature"
+        )
         assert self.backend in ("xla", "pallas"), self.backend
         assert self.n_samples >= 1 and self.n_bounces >= 1
         assert (self.geom_axis is None) == (self.geom_axis_size == 0)

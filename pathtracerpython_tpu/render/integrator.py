@@ -142,9 +142,15 @@ def shade_nee(
     # scatter); reference mode uses the raw winding normal (parity)
     normal3 = hit.normal3 if shading_normal3 is None else shading_normal3
 
+    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+
     if (cfg.mode == "fast" and cfg.backend == "pallas"
             and cfg.geom_axis is None
-            and scene.light_v0.shape[0] <= 16):
+            and scene.light_v0.shape[0] <= 16
+            and cfg.soft_vis_beta == 0.0
+            and not use_sparse(cfg.accel, scene.num_padded_triangles)):
+        # (sparse-accel scenes skip the fused kernel: its occlusion sweep
+        # is dense O(T) — the sparse any-hit below is the fast path there)
         # fused megakernel: sampling + occlusion sweep + cosine mean in one
         # launch (same uniforms, same estimator; kernels/nee_pallas.py).
         # Gated on light-mesh size: the kernel unrolls the CDF pick and
@@ -184,19 +190,34 @@ def shade_nee(
     dist = jnp.sqrt(jnp.sum(vec3 * vec3, axis=0) + 1e-24)  # [S, N]
     sdir3 = normalize3(vec3)
 
-    occluded = any_hit_within_cm(
-        jnp.broadcast_to(point3[:, None, :], vec3.shape).reshape(3, s * n),
-        sdir3.reshape(3, s * n),
-        dist.reshape(s * n),
-        scene,
-        mode=cfg.mode, tile=cfg.tile, backend=cfg.backend,
-        geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
-    ).reshape(s, n)
+    flat_o3 = jnp.broadcast_to(
+        point3[:, None, :], vec3.shape
+    ).reshape(3, s * n)
+    flat_d3 = sdir3.reshape(3, s * n)
+    flat_dist = dist.reshape(s * n)
 
     cos = jnp.sum(sdir3 * normal3[:, None, :], axis=0)  # [S, N]
     if cfg.mode != "reference":
         cos = jnp.maximum(cos, 0.0)
-    mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=0)  # [N]
+
+    if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
+        # boundary-aware smooth shadow coverage (diff/boundary.py):
+        # differentiable w.r.t. occluder vertices
+        from pathtracerpython_tpu.diff.boundary import soft_visibility
+
+        vis = soft_visibility(
+            flat_o3.T, flat_d3.T, flat_dist, scene, cfg.soft_vis_beta,
+            tile=cfg.tile,
+        ).reshape(s, n)
+        mean_cos = jnp.mean(vis * cos, axis=0)  # [N]
+    else:
+        occluded = any_hit_within_cm(
+            flat_o3, flat_d3, flat_dist, scene,
+            mode=cfg.mode, tile=cfg.tile, backend=cfg.backend,
+            geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
+            accel=cfg.accel,
+        ).reshape(s, n)
+        mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=0)  # [N]
 
     if cfg.mode == "reference":
         # quirk 9: color from the LAST sample's occluder / last SDL object
@@ -232,7 +253,13 @@ def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
     if cfg.mode != "reference":
         light3 = jnp.where(prev_specular[None, :], light3, 0.0)
     color3 = jnp.where(hit.is_light[None, :], light3, surface3)
-    return jnp.where(hit.hit[None, :], color3, 0.0)
+    # opt-in SDL background (cfg.use_background): a miss pays the parsed
+    # background color; the lane dies right after, so it pays at most once
+    miss3 = (
+        jnp.broadcast_to(scene.background[:, None], surface3.shape)
+        if cfg.use_background else jnp.zeros_like(surface3)
+    )
+    return jnp.where(hit.hit[None, :], color3, miss3)
 
 
 def arrival_side_normal(normal3, d_in3):
@@ -293,33 +320,148 @@ def scatter(
     return new_dir3, factor, survives, ~choose_diffuse
 
 
+def _sort_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
+    """Per-bounce wavefront sorting: on for the sparse-accel fast path
+    (where block coherence is the performance model), off elsewhere.
+    Reference mode is never sorted — it is the parity gate."""
+    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+
+    if cfg.mode != "fast" or cfg.geom_axis is not None:
+        return False
+    if cfg.sort_rays == "on":
+        return True
+    return cfg.sort_rays == "auto" and (
+        cfg.backend == "pallas"
+        and use_sparse(cfg.accel, scene.num_padded_triangles)
+    )
+
+
+def _permute_state(state: RayState, order) -> RayState:
+    from pathtracerpython_tpu.ops.sort import permute_minor
+
+    return RayState(*(permute_minor(f, order) for f in state))
+
+
+def _soft_hit_and_shade(o3, d3, state, scene, cfg, u_nee):
+    """Silhouette-blended hit + color for the soft estimator
+    (cfg.soft_vis_beta > 0; see diff/boundary.py for the math).
+
+    Returns (hard hit1 record for path continuation, blended color3).
+    The blend ``cov·shade(front) + (1-cov)·shade(behind)`` makes the
+    radiance continuous in occluder vertex positions: gradients flow
+    through the front hit's edge margin (and through both hit distances).
+    """
+    from pathtracerpython_tpu.diff.boundary import (
+        IMAX as B_IMAX,
+        soft_hits_sweep,
+    )
+
+    sh = soft_hits_sweep(o3.T, d3.T, scene, cfg.soft_vis_beta, tile=cfg.tile)
+    d3u = normalize3(d3)
+
+    def rec(t, idx) -> NearestHitCM:
+        found = idx != B_IMAX
+        safe = jnp.where(found, idx, 0)
+        t_ = jnp.where(found, t, 0.0)
+        return NearestHitCM(
+            hit=found,
+            t=t_,
+            tri_idx=safe,
+            point3=o3 + d3u * t_[None, :],
+            normal3=scene.tri_normal[safe].T,
+            material=scene.tri_material[safe],
+            is_light=scene.tri_is_light[safe] & found,
+        )
+
+    front = rec(sh.f_t, sh.f_idx)
+    # "behind" = the first true hit past the front record: hit2 when the
+    # front IS hit1, else hit1 (front is then a near-miss in front of it)
+    front_is_h1 = sh.f_idx == sh.h1_idx
+    behind = rec(
+        jnp.where(front_is_h1, sh.h2_t, sh.h1_t),
+        jnp.where(front_is_h1, sh.h2_idx, sh.h1_idx),
+    )
+    hit1 = rec(sh.h1_t, sh.h1_idx)
+
+    cov = jnp.where(
+        front.hit, jax.nn.sigmoid(sh.f_margin / cfg.soft_vis_beta), 0.0
+    )
+
+    def shade_rec(r: NearestHitCM):
+        m = resolve_materials(scene, r.material)
+        n3 = arrival_side_normal(r.normal3, normalize3(d3))
+        return shade(r, m, u_nee, scene, cfg, state.prev_specular, n3)
+
+    color3 = (
+        cov[None, :] * shade_rec(front)
+        + (1.0 - cov)[None, :] * shade_rec(behind)
+    )
+    return hit1, color3
+
+
 def bounce_step(
     state: RayState, bounce_idx, scene: SceneArrays, cfg: RenderConfig,
-    k0, k1,
+    k0, k1, sort_bounds=None,
 ) -> RayState:
-    """One wavefront bounce: intersect → shade → scatter, fully masked."""
-    hit = nearest_hit_cm(
-        state.origin3, state.direction3, scene, mode=cfg.mode,
-        tile=cfg.tile, backend=cfg.backend, geom_axis=cfg.geom_axis,
-        geom_axis_size=cfg.geom_axis_size,
-    )
-    mat = resolve_materials(scene, hit.material)
-    if cfg.mode == "fast":
-        # one arrival-side normal for BOTH direct lighting and scattering
-        # (backface-consistent shading; reference mode keeps raw windings)
-        shading_n3 = arrival_side_normal(
-            hit.normal3, normalize3(state.direction3)
+    """One wavefront bounce: intersect → shade → scatter, fully masked.
+
+    ``sort_bounds``: (lo3, hi3) scene bounds when wavefront sorting is
+    enabled — the state is re-sorted by (octant, origin morton) and dead
+    lanes are parked on a no-candidate ray; a pure lane permutation, so
+    output is bit-identical to the unsorted path (counters carry the RNG).
+    """
+    if sort_bounds is not None:
+        from pathtracerpython_tpu.ops.sort import (
+            PARK_DIR,
+            PARK_ORIGIN,
+            wavefront_sort_order,
         )
+
+        lo3, hi3 = sort_bounds
+        order = wavefront_sort_order(
+            state.origin3, state.direction3, state.alive, lo3, hi3
+        )
+        state = _permute_state(state, order)
+        park_o = jnp.asarray(PARK_ORIGIN, state.origin3.dtype)[:, None]
+        park_d = jnp.asarray(PARK_DIR, state.direction3.dtype)[:, None]
+        sweep_o3 = jnp.where(state.alive[None, :], state.origin3, park_o)
+        sweep_d3 = jnp.where(state.alive[None, :], state.direction3, park_d)
     else:
-        shading_n3 = None
+        sweep_o3 = state.origin3
+        sweep_d3 = state.direction3
 
     nk0, nk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_NEE)
     sk0, sk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_SCATTER)
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
 
-    color3 = shade(hit, mat, u_nee, scene, cfg, state.prev_specular,
-                   shading_n3)
+    if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
+        hit, color3 = _soft_hit_and_shade(
+            sweep_o3, sweep_d3, state, scene, cfg, u_nee
+        )
+        mat = resolve_materials(scene, hit.material)
+        shading_n3 = arrival_side_normal(
+            hit.normal3, normalize3(state.direction3)
+        )
+    else:
+        hit = nearest_hit_cm(
+            sweep_o3, sweep_d3, scene, mode=cfg.mode,
+            tile=cfg.tile, backend=cfg.backend, geom_axis=cfg.geom_axis,
+            geom_axis_size=cfg.geom_axis_size, accel=cfg.accel,
+        )
+        mat = resolve_materials(scene, hit.material)
+        if cfg.mode == "fast":
+            # one arrival-side normal for BOTH direct lighting and
+            # scattering (backface-consistent shading; reference mode
+            # keeps raw windings)
+            shading_n3 = arrival_side_normal(
+                hit.normal3, normalize3(state.direction3)
+            )
+        else:
+            shading_n3 = None
+
+        color3 = shade(hit, mat, u_nee, scene, cfg, state.prev_specular,
+                       shading_n3)
     contrib3 = jnp.where(
         state.alive[None, :], color3 * state.throughput[None, :], 0.0
     )
@@ -383,15 +525,33 @@ def render_rays(
     pid = pixel_ids.astype(jnp.uint32)
     k0, k1 = rng.key_from_seed(base_key)
 
+    sort_bounds = None
+    if _sort_enabled(scene, cfg):
+        from pathtracerpython_tpu.ops.sort import scene_bounds
+
+        sort_bounds = scene_bounds(scene)
+
     def bounce_sweep(state):
         def body(st, b):
-            return bounce_step(st, b, scene, cfg, k0, k1), None
+            return bounce_step(st, b, scene, cfg, k0, k1, sort_bounds), None
 
         if cfg.remat_bounces:
             body = jax.checkpoint(body)
         return lax.scan(
             body, state, jnp.arange(cfg.n_bounces, dtype=jnp.uint32)
         )[0]
+
+    def unscramble(radiance3, counters, batched: bool):
+        """Sorting permutes lanes each bounce; the RNG counter uniquely
+        names each lane's accumulator slot (lane layout: pid for the
+        per-sample scan, sample*n + pid for batch_samples), so one
+        scatter restores order regardless of how many re-sorts happened."""
+        if sort_bounds is None:
+            return radiance3
+        c = counters.astype(jnp.int32)
+        pid_of = c // s_total
+        slot = (c % s_total) * n + pid_of if batched else pid_of
+        return jnp.zeros_like(radiance3).at[:, slot].set(radiance3)
 
     if cfg.batch_samples and s_total > 1:
         rep3 = lambda x: jnp.concatenate([x] * s_total, axis=1)
@@ -402,15 +562,16 @@ def render_rays(
         )
         state = init_rays(rep3(o3), rep3(d3), counters)
         state = bounce_sweep(state)
+        radiance3 = unscramble(state.radiance3, state.counters, True)
         return jnp.mean(
-            state.radiance3.reshape(3, s_total, n), axis=1
+            radiance3.reshape(3, s_total, n), axis=1
         ).T
 
     def one_sample(carry, sample_idx):
         counters = pid * s_total + sample_idx
         state = init_rays(o3, d3, counters)
         state = bounce_sweep(state)
-        return carry + state.radiance3, None
+        return carry + unscramble(state.radiance3, state.counters, False), None
 
     total3 = lax.scan(
         one_sample,

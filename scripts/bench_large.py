@@ -1,0 +1,120 @@
+"""Large-scene benchmark: the 100k-triangle box field (BASELINE config 5
+shape) at 512x512 / 2 spp / 3 bounces — the VERDICT round-1 "done when"
+config for the acceleration hierarchy.
+
+Prints one JSON line per configuration (accel x sort), with rays/s and
+the speedup over the dense brute-force sweep. Same measurement discipline
+as bench.py (pre-committed inputs, per-rep RNG variation, scanned reps in
+one jit, fetch-overhead subtraction).
+
+Usage: python scripts/bench_large.py [--boxes 8333] [--size 512]
+       [--spp 2] [--bounces 3] [--reps 3] [--configs accel:sort,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def fetch_overhead_s() -> float:
+    xs = jax.device_put(jnp.arange(6, dtype=jnp.int32))
+    jax.block_until_ready(xs)
+    f = jax.jit(lambda e: jnp.sum(e.astype(jnp.float32)))
+    float(f(xs[0]))
+    best = float("inf")
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        float(f(xs[i]))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--boxes", type=int, default=8333)  # ~100k triangles
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--spp", type=int, default=2)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument(
+        "--configs", default="none:off,sparse:off,sparse:on",
+        help="comma list of accel:sort pairs to run",
+    )
+    args = p.parse_args()
+
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render_rays
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+    print(f"platform: {jax.default_backend()}", file=sys.stderr)
+    on_tpu = jax.default_backend() == "tpu"
+    w = h = args.size
+    scene = pack_scene(
+        box_field_scene(n_boxes=args.boxes, width=w, height=h),
+        morton_order=True,
+    )
+    scene = jax.device_put(scene)
+    print(f"triangles: {scene.meta.n_triangles} "
+          f"(padded {scene.tri_v0.shape[0]})", file=sys.stderr)
+
+    origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    run_ids = jax.device_put(jnp.arange(8, dtype=jnp.uint32) * 1000)
+    jax.block_until_ready((origins, dirs, pixel_ids, run_ids))
+    overhead = fetch_overhead_s()
+    total_rays = w * h * args.spp * args.bounces * 4  # 1 + 3 NEE
+    reps = args.reps
+
+    base = None
+    for pair in args.configs.split(","):
+        accel, sort = pair.split(":")
+        cfg = RenderConfig(
+            mode="fast", n_samples=args.spp, n_bounces=args.bounces,
+            backend="pallas" if on_tpu else "xla",
+            accel=accel, sort_rays=sort, batch_samples=True,
+        )
+
+        @jax.jit
+        def run(sc, o, d, pids, rid):
+            def body(acc, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), i + rid)
+                return acc + jnp.sum(render_rays(o, d, pids, sc, cfg, key)), None
+            return lax.scan(body, 0.0, jnp.arange(reps, dtype=jnp.uint32))[0]
+
+        t0 = time.perf_counter()
+        warm = float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
+        compile_s = time.perf_counter() - t0
+        assert warm == warm, f"NaN render sum ({pair})"
+
+        best = float("inf")
+        for i in range(1, 3):
+            t0 = time.perf_counter()
+            float(run(scene, origins, dirs, pixel_ids, run_ids[i]))
+            best = min(best, time.perf_counter() - t0)
+        per_render = max(best - overhead, 1e-9) / reps
+        rays_per_s = total_rays / per_render
+        if base is None:
+            base = rays_per_s if accel == "none" else None
+        print(json.dumps({
+            "config": pair,
+            "rays_per_s": round(rays_per_s, 1),
+            "ms_per_render": round(per_render * 1e3, 2),
+            "compile_s": round(compile_s, 1),
+            "speedup_vs_dense": (
+                round(rays_per_s / base, 2) if base else None
+            ),
+            "vs_50M_target": round(rays_per_s / 50e6, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

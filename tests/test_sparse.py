@@ -1,0 +1,188 @@
+"""Cluster-sparse sweep (kernels/sparse_pallas.py) vs the dense kernels.
+
+The sparse hierarchy must be an exact, bit-identical replacement for the
+dense megakernel sweeps — same Möller–Trumbore math, same lexicographic
+(t, index) winner (= the reference's first-minimum tie-break,
+``/root/reference/main.py:115``). These tests run the pallas interpret
+path on CPU; the same code compiles to Mosaic on TPU.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pathtracerpython_tpu.kernels.intersect_pallas import (
+    any_hit_pallas_cm,
+    nearest_t_idx_cm,
+)
+from pathtracerpython_tpu.kernels import sparse_pallas as sp
+from pathtracerpython_tpu.ops.camera import make_primary_rays
+from pathtracerpython_tpu.ops.geometry import normalize3
+from pathtracerpython_tpu.render.config import RenderConfig
+from pathtracerpython_tpu.render.integrator import render
+from pathtracerpython_tpu.scene.arrays import pack_scene
+from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+
+@pytest.fixture(scope="module")
+def field_scene():
+    return pack_scene(
+        box_field_scene(n_boxes=80, width=24, height=24), morton_order=True
+    )
+
+
+def _primary(scene):
+    o, d = make_primary_rays(
+        scene.eye, scene.ortho, scene.meta.width, scene.meta.height
+    )
+    return o.T, normalize3(d.T)
+
+
+def _random_rays(n, seed=0):
+    """Incoherent rays inside the box-field volume — the hard case for
+    block-level culling (loose unions, scattered candidates)."""
+    rng = np.random.default_rng(seed)
+    o = rng.uniform([-8, -1, -16], [8, 1.5, 3], (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    return jnp.asarray(o.T), normalize3(jnp.asarray(d.T))
+
+
+def assert_nearest_matches(scene, o3, d3, **kw):
+    t_d, i_d = nearest_t_idx_cm(o3, d3, scene)
+    t_s, i_s = sp.sparse_nearest_t_idx_cm(o3, d3, scene, **kw)
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_s))
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_s))
+
+
+def test_nearest_primary_bitmatch(field_scene):
+    o3, d3 = _primary(field_scene)
+    assert_nearest_matches(field_scene, o3, d3)
+
+
+def test_nearest_incoherent_bitmatch(field_scene):
+    o3, d3 = _random_rays(700)
+    assert_nearest_matches(field_scene, o3, d3)
+
+
+def test_any_hit_bitmatch(field_scene):
+    o3, d3 = _random_rays(700, seed=3)
+    maxd = jnp.full((o3.shape[1],), 6.0, jnp.float32)
+    occ_d = any_hit_pallas_cm(o3, d3, maxd, field_scene)
+    occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene)
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
+    assert np.asarray(occ_d).any()  # non-trivial scene
+
+
+def test_overflow_falls_back_dense(field_scene):
+    """A starved work list must trigger the dense fallback, not drop
+    candidates."""
+    o3, d3 = _random_rays(600, seed=5)
+    assert_nearest_matches(field_scene, o3, d3, maxc=4, w_per_rb=2)
+
+
+def test_zero_candidate_blocks(field_scene):
+    """Rays pointing away from all geometry: never-visited output blocks
+    must still report clean misses."""
+    n = 600
+    o3 = jnp.broadcast_to(
+        jnp.asarray([0.0, 50.0, 0.0], jnp.float32)[:, None], (3, n)
+    )
+    d3 = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.0, 0.0], jnp.float32)[:, None], (3, n)
+    )
+    t, idx = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene)
+    assert (np.asarray(idx) == -1).all()
+    assert (np.asarray(t) == 0.0).all()
+    maxd = jnp.full((n,), 100.0, jnp.float32)
+    occ = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene)
+    assert not np.asarray(occ).any()
+
+
+def test_shared_edge_tie_break(field_scene):
+    """Rays through shared triangle edges produce equal-t ties; the
+    sparse winner must still be the smallest global index (the dense /
+    reference first-minimum rule)."""
+    # aim rays exactly at box-corner vertices: guaranteed multi-triangle
+    # equal-t intersections
+    v = np.asarray(field_scene.tri_v0)[:512]
+    o = np.asarray([0.0, 0.0, 3.0], np.float32)
+    d3 = normalize3(jnp.asarray((v - o).T.astype(np.float32)))
+    o3 = jnp.broadcast_to(jnp.asarray(o)[:, None], d3.shape)
+    assert_nearest_matches(field_scene, o3, d3)
+
+
+def test_gradients_bitmatch(field_scene):
+    o3, d3 = _primary(field_scene)
+
+    def loss_dense(v0):
+        s = dataclasses.replace(field_scene, tri_v0=v0)
+        return jnp.sum(nearest_t_idx_cm(o3, d3, s)[0])
+
+    def loss_sparse(v0):
+        s = dataclasses.replace(field_scene, tri_v0=v0)
+        return jnp.sum(sp.sparse_nearest_t_idx_cm(o3, d3, s)[0])
+
+    gd = jax.grad(loss_dense)(field_scene.tri_v0)
+    gs = jax.grad(loss_sparse)(field_scene.tri_v0)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(gs))
+
+
+def test_render_accel_equivalence(field_scene):
+    """Full integrator render: accel='sparse' vs accel='none'.
+
+    The intersection sweeps bit-match (tests above); the only remaining
+    difference is that sparse mode routes NEE through the sparse any-hit
+    instead of the fused NEE megakernel, whose cosine mean differs from
+    the unfused path by 1 ULP on some pixels — so the image gate is
+    1-ULP-tolerance, not bitwise.
+    """
+    base = dict(
+        mode="fast", backend="pallas", n_samples=1, n_bounces=2,
+        batch_samples=True,
+    )
+    r_none = np.asarray(
+        render(field_scene, RenderConfig(accel="none", **base), seed=7)
+    )
+    r_sparse = np.asarray(
+        render(field_scene, RenderConfig(accel="sparse", **base), seed=7)
+    )
+    np.testing.assert_allclose(r_none, r_sparse, atol=2e-7, rtol=0)
+
+
+def test_render_sorted_bitmatch(field_scene):
+    """Wavefront sorting is a pure lane permutation: sorted and unsorted
+    sparse renders must be BIT-identical (both sample layouts)."""
+    for batch in (True, False):
+        base = dict(
+            mode="fast", backend="pallas", accel="sparse", n_samples=2,
+            n_bounces=3, batch_samples=batch,
+        )
+        r_off = render(
+            field_scene, RenderConfig(sort_rays="off", **base), seed=11
+        )
+        r_on = render(
+            field_scene, RenderConfig(sort_rays="on", **base), seed=11
+        )
+        np.testing.assert_array_equal(np.asarray(r_off), np.asarray(r_on))
+
+
+def test_sort_order_is_permutation():
+    from pathtracerpython_tpu.ops.sort import wavefront_sort_order
+
+    rng = np.random.default_rng(0)
+    n = 1000
+    o3 = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    d3 = jnp.asarray(rng.normal(size=(3, n)).astype(np.float32))
+    alive = jnp.asarray(rng.uniform(size=n) < 0.7)
+    lo = jnp.asarray([-3.0, -3.0, -3.0], jnp.float32)
+    hi = jnp.asarray([3.0, 3.0, 3.0], jnp.float32)
+    order = np.asarray(wavefront_sort_order(o3, d3, alive, lo, hi))
+    assert sorted(order.tolist()) == list(range(n))
+    # dead lanes sort after every live lane
+    alive_np = np.asarray(alive)
+    n_live = int(alive_np.sum())
+    assert alive_np[order[:n_live]].all()
+    assert not alive_np[order[n_live:]].any()
