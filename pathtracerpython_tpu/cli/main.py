@@ -23,10 +23,16 @@ def setup(argv=None) -> argparse.Namespace:
     # reference-compatible flags (main.py:125-139)
     p.add_argument("scene", help="SDL scene file")
     p.add_argument("--out", default="out.png", help="output image path")
-    p.add_argument("-r", "--rays-per-pixel", type=int, default=1,
-                   help="samples per pixel (reference -r)")
+    p.add_argument("-r", "--rays-per-pixel", type=int, default=None,
+                   help="samples per pixel (reference -r; default 1, or the "
+                        "SDL's npaths under --honor-sdl)")
     p.add_argument("-b", "--bounces", type=int, default=1,
                    help="path bounces (reference -b)")
+    p.add_argument("--honor-sdl", action="store_true",
+                   help="honor the SDL fields the reference parses but "
+                        "ignores: npaths (spp), seed, tonemapping (gamma), "
+                        "background (paid on miss). Explicit -r/--seed "
+                        "flags still win")
     p.add_argument("--show-img", action="store_true",
                    help="open the rendered image")
     p.add_argument("--show-scene", action="store_true",
@@ -44,7 +50,9 @@ def setup(argv=None) -> argparse.Namespace:
                    default="auto", help="intersection sweep backend")
     p.add_argument("--light-samples", type=int, default=3,
                    help="NEE samples per shading point (reference hardcodes 3)")
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="RNG seed (default 0, or the SDL's seed under "
+                        "--honor-sdl)")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh axis size (0 = single device)")
     p.add_argument("--geom", type=int, default=1,
@@ -57,6 +65,13 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--morton", action="store_true",
                    help="spatially sort triangles (tighter kernel-block "
                         "AABBs -> faster large scenes; fast mode only)")
+    p.add_argument("--accel", choices=("auto", "sparse", "none"),
+                   default="auto",
+                   help="acceleration hierarchy: auto engages the cluster-"
+                        "sparse sweeps for large scenes (bit-identical)")
+    p.add_argument("--sort-rays", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="per-bounce wavefront ray sorting (bit-identical)")
     p.add_argument("--platform", choices=("default", "cpu", "tpu"),
                    default="default",
                    help="force a jax platform (the environment may pin one "
@@ -99,16 +114,42 @@ def main(argv=None) -> int:
 
     if args.morton and args.mode == "reference":
         log("note: --morton changes tie-break order; ignored in reference mode")
-    scene = load_scene(
-        args.scene, pad_to=args.pad_to,
-        morton_order=args.morton and args.mode != "reference",
+    scene = load_scene(args.scene, pad_to=args.pad_to)
+    # the cluster-sparse hierarchy keys off spatial locality: auto-enable
+    # morton ordering for large fast-mode scenes unless explicitly given
+    from pathtracerpython_tpu.kernels.sparse_pallas import SPARSE_MIN_TRIS
+
+    use_morton = args.mode != "reference" and (
+        args.morton or (
+            args.accel != "none"
+            and scene.num_padded_triangles >= SPARSE_MIN_TRIS
+        )
     )
+    if use_morton:
+        scene = load_scene(
+            args.scene, pad_to=args.pad_to, morton_order=True
+        )
+    # SDL-field honoring: explicit CLI flags > SDL values (--honor-sdl) >
+    # reference defaults (reference parse sites: scene_reader.py:151-170)
+    meta = scene.meta
+    n_samples = args.rays_per_pixel
+    if n_samples is None:
+        n_samples = (meta.npaths if args.honor_sdl and meta.npaths else 1)
+    seed = args.seed
+    if seed is None:
+        seed = (meta.seed if args.honor_sdl and meta.seed is not None else 0)
+    tonemapping = meta.tonemapping if args.honor_sdl else None
+    args.seed = seed
+
     cfg = RenderConfig(
         mode=args.mode,
-        n_samples=args.rays_per_pixel,
+        n_samples=n_samples,
         n_bounces=args.bounces,
         n_light_samples=args.light_samples,
         backend=backend,
+        use_background=args.honor_sdl,
+        accel=args.accel,
+        sort_rays=args.sort_rays,
     )
     log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
         f"{scene.meta.width}x{scene.meta.height})")
@@ -164,6 +205,7 @@ def main(argv=None) -> int:
     image = radiance_to_image(
         radiance, scene.meta.width, scene.meta.height,
         normalization=args.normalization,
+        tonemapping=tonemapping,
     )
     save_png(image, args.out)
     log(f"wrote {args.out}")

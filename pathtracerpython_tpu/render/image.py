@@ -40,9 +40,16 @@ def normalize_minmax(canvas):
 
 
 def radiance_to_image(
-    radiance, width: int, height: int, normalization: str = "minmax"
+    radiance, width: int, height: int, normalization: str = "minmax",
+    tonemapping: float | None = None,
 ) -> np.ndarray:
-    """uint8 [H, W, 3] image. normalization: "minmax" (reference) | "clip"."""
+    """uint8 [H, W, 3] image. normalization: "minmax" (reference) | "clip".
+
+    ``tonemapping``: opt-in gamma from the SDL's parsed-but-ignored
+    ``tonemapping`` record (CLI --honor-sdl): the normalized canvas is
+    raised to 1/tonemapping. The SDL value 1.0 is the identity, matching
+    the reference's behavior of ignoring it.
+    """
     canvas = radiance_to_canvas(radiance, width, height)
     if normalization == "minmax":
         canvas = normalize_minmax(canvas)
@@ -50,6 +57,8 @@ def radiance_to_image(
         canvas = jnp.clip(canvas, 0.0, 1.0)
     else:
         raise ValueError(normalization)
+    if tonemapping is not None and tonemapping > 0.0 and tonemapping != 1.0:
+        canvas = jnp.power(canvas, 1.0 / tonemapping)
     return np.asarray(canvas * 255.0).astype(np.uint8)
 
 
