@@ -17,8 +17,9 @@ not beat, the reference's brute-force scan (``/root/reference/main.py:
   ``PrefetchScalarGridSpec`` lets the BlockSpec index maps read it from
   SMEM, so only candidate clusters are ever DMA'd. Each work item is
   PACKED into one int32 word — [seg 1][active 1][rb 14][cl 12] — because
-  the prefetch arrays live in SMEM (~1 MB total): one word per item
-  keeps six-figure work lists inside the budget. In-kernel, a per-ray
+  the prefetch arrays live in SMEM, and the v5e worker hard-crashes once
+  a prefetch operand reaches ~512 KB (wavefronts are chunked at CHUNK_RB
+  ray blocks per launch to stay at 256 KB). In-kernel, a per-ray
   slab test against the cluster AABB skips the Möller–Trumbore tile
   unless some ray still needs it (``entry < best_t`` — front-to-back
   order makes this an early-termination test, the classic BVH benefit);
@@ -65,11 +66,26 @@ from pathtracerpython_tpu.ops.geometry import intersect_moller
 IMAX = 2**31 - 1
 
 # Defaults, tuned on the v5e (see docs/PERFORMANCE.md "Large scenes").
+# Measured on the 100k-tri box field at 512^2 (the BASELINE config-5
+# shape): primary blocks average ~50 candidate clusters, bounce/NEE
+# blocks ~110-290 — but a handful of blocks per bounce touch MOST
+# clusters, so any per-block cap below n_clusters triggers the fallback
+# for a whole chunk. MAXC therefore defaults to the packed-field maximum
+# (= "keep every candidate"); overflow is a TOTAL-budget event only.
 C_TRI = 128       # triangles per cluster (leaf granularity)
 R_BLK = 1024      # rays per block
-MAXC = 512        # top_k cap on candidates per ray block
-W_PER_RB = 128    # work-list slots per ray block before the SMEM cap
-W_SMEM_ENTRIES = 131072  # hard cap: packed items are 4 B each in SMEM
+MAXC = 4096       # per-block candidate cap; 4096 = the cl-field limit,
+#                   i.e. no cap beyond _check_limits' cluster bound
+W_PER_RB = 512    # average work-list slots per ray block in a launch
+# Ray blocks per sparse LAUNCH. The packed work list is a scalar-prefetch
+# operand resident in SMEM for the whole launch; empirically the v5e
+# worker hard-crashes ("TPU worker process crashed") once that operand
+# reaches ~512 KB (131072 words), while <= 384 KB runs. Chunking the
+# wavefront at CHUNK_RB blocks bounds it at CHUNK_RB * W_PER_RB * 4 B
+# = 256 KB per launch — and makes candidate overflow LOCAL (one chunk
+# falls back to the XLA sweep, the rest stay on the sparse kernel).
+CHUNK_RB = 128
+W_SMEM_ENTRIES = CHUNK_RB * W_PER_RB  # 65536 words = 256 KB
 SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
 
 # packed work-item layout: [seg 1][active 1][rb 14][cl 12]
@@ -575,20 +591,79 @@ def _pack_for_sparse(scene, c_tri):
     return _pad_dim(tripack, 512, axis=0)
 
 
+def _map_ray_chunks(fn, arrays, r_blk: int, chunk_rb: int):
+    """Pad the minor (ray) axis and run ``fn`` per bounded-size chunk.
+
+    Each sparse launch must keep its scalar-prefetch work list under the
+    SMEM budget (see CHUNK_RB above), so wavefronts wider than
+    ``chunk_rb * r_blk`` are split with ``lax.map`` — the kernel compiles
+    once for the chunk shape and each chunk takes its own
+    overflow-vs-sparse branch. Forward-only (callers own autodiff)."""
+    n = arrays[0].shape[-1]
+    chunk = chunk_rb * r_blk
+    if n <= chunk:
+        padded = [_pad_repeat_last(x, r_blk) for x in arrays]
+        return fn(*padded)
+    padded = [_pad_repeat_last(x, chunk) for x in arrays]
+    k = padded[0].shape[-1] // chunk
+
+    def split(x):
+        xs = x.reshape(x.shape[:-1] + (k, chunk))
+        return jnp.moveaxis(xs, -2, 0)  # [k, ..., chunk]
+
+    out = lax.map(lambda xs: fn(*xs), tuple(split(x) for x in padded))
+    if isinstance(out, tuple):
+        return tuple(o.reshape(-1) for o in out)
+    return out.reshape(-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sparse_nearest_wide(o3, d3, tripack, statics, chunk_rb):
+    """Chunk-mapped sparse nearest with ONE backward re-solve over the
+    whole wavefront: per-chunk vjps would sum scatter-adds in a different
+    order than the dense kernel's single vjp, breaking the bit-identical
+    gradient contract (tests/test_sparse.py)."""
+    sg = lax.stop_gradient
+    return _map_ray_chunks(
+        lambda o, d: _sparse_nearest_impl(o, d, tripack, statics),
+        [sg(o3), sg(d3)], statics[1], chunk_rb,
+    )
+
+
+def _wide_fwd(o3, d3, tripack, statics, chunk_rb):
+    t, idx = _sparse_nearest_wide(o3, d3, tripack, statics, chunk_rb)
+    n = o3.shape[1]
+    return (t, idx), (o3, d3, tripack, idx[:n])
+
+
+def _wide_bwd(statics, chunk_rb, res, cots):
+    o3, d3, tripack, idx = res
+    n = o3.shape[1]
+    return _nearest_bwd((o3, d3, tripack, idx), (cots[0][:n], None))
+
+
+_sparse_nearest_wide.defvjp(_wide_fwd, _wide_bwd)
+
+
 def sparse_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
-    w_per_rb: int = W_PER_RB,
+    w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major sparse nearest hit. o3/d3_unit f32[3, N] (N
     unpadded, d3_unit normalized). Returns (t [N] — 0 on miss,
     idx [N] — -1 on miss), equal to the dense kernel's result."""
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
-    o3p = _pad_repeat_last(o3, r_blk)
-    d3p = _pad_repeat_last(d3_unit, r_blk)
     statics = (c_tri, r_blk, maxc, w_per_rb)
-    t, idx = _sparse_nearest(o3p, d3p, tripack, statics)
+    if n <= chunk_rb * r_blk:
+        o3p = _pad_repeat_last(o3, r_blk)
+        d3p = _pad_repeat_last(d3_unit, r_blk)
+        t, idx = _sparse_nearest(o3p, d3p, tripack, statics)
+    else:
+        t, idx = _sparse_nearest_wide(
+            o3, d3_unit, tripack, statics, chunk_rb
+        )
     t, idx = t[:n], idx[:n]
     return jnp.where(idx >= 0, t, 0.0), idx
 
@@ -596,14 +671,15 @@ def sparse_nearest_t_idx_cm(
 def sparse_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
-    w_per_rb: int = W_PER_RB,
+    w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
     n = o3.shape[1]
     sg = lax.stop_gradient
     tripack = sg(_pack_for_sparse(scene, c_tri))
-    o3p = _pad_repeat_last(sg(o3), r_blk)
-    d3p = _pad_repeat_last(sg(d3_unit), r_blk)
-    maxd = _pad_repeat_last(sg(max_dist)[None, :], r_blk)[0]
     statics = (c_tri, r_blk, maxc, w_per_rb)
-    return _sparse_any_hit(o3p, d3p, maxd, tripack, statics)[:n]
+    occ = _map_ray_chunks(
+        lambda o, d, m: _sparse_any_hit(o, d, m[0], tripack, statics),
+        [sg(o3), sg(d3_unit), sg(max_dist)[None, :]], r_blk, chunk_rb,
+    )
+    return occ[:n]

@@ -1,0 +1,76 @@
+"""Minimal crash repro for the sparse path inside the full render.
+
+Runs ONE render config per process (a TPU worker crash kills the
+process); a driver loop outside runs the matrix. Flags let the sparse
+path be disabled per kernel, isolating nearest vs NEE any-hit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--spp", type=int, default=2)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--sort", default="off")
+    p.add_argument("--nee-xla", action="store_true",
+                   help="force the NEE any-hit onto the XLA fallback")
+    p.add_argument("--nearest-xla", action="store_true",
+                   help="force the nearest sweep onto the XLA fallback")
+    args = p.parse_args()
+
+    from pathtracerpython_tpu.kernels import sparse_pallas as sp
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render_rays
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+    if args.nee_xla:
+        sp._sparse_any_hit = (
+            lambda o3, d3, maxd, tripack, statics:
+            sp._xla_any_hit(o3, d3, maxd, tripack)
+        )
+    if args.nearest_xla:
+        orig_impl = sp._sparse_nearest_impl
+
+        def impl(o3, d3, tripack, statics):
+            return sp._xla_nearest_t_idx(o3, d3, tripack)
+
+        sp._sparse_nearest_impl = impl
+        # rebuild the custom_vjp wrapper around the patched impl
+        del orig_impl
+
+    print(f"platform: {jax.default_backend()}", file=sys.stderr)
+    w = h = args.size
+    scene = pack_scene(
+        box_field_scene(n_boxes=8333, width=w, height=h), morton_order=True
+    )
+    scene = jax.device_put(scene)
+    cfg = RenderConfig(
+        mode="fast", n_samples=args.spp, n_bounces=args.bounces,
+        backend="pallas", accel="sparse", sort_rays=args.sort,
+        batch_samples=True,
+    )
+    origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    jax.block_until_ready((origins, dirs))
+
+    t0 = time.perf_counter()
+    out = jax.jit(
+        lambda sc, o, d, pids: render_rays(o, d, pids, sc, cfg, 0)
+    )(scene, origins, dirs, pixel_ids)
+    s = float(jnp.sum(out))
+    print(f"OK sum={s:.3f} compile+run={time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -58,23 +58,33 @@ def test_converged_radiance_allclose_b1(cornell_scene):
     assert corr > 0.998, corr
 
 
-def test_converged_radiance_allclose_b2(cornell_scene):
-    """BASELINE config 1 shape: multi-bounce comparison, noise-calibrated.
+def test_converged_radiance_bias_bound_b2(cornell_scene):
+    """Multi-bounce BIAS gate (replaces the round-1 self-noise ceiling).
 
-    At 16 spp the bounce-2 scatter makes per-pixel MC noise the dominant
-    difference between ANY two independent estimates (measured: our own
-    seed-to-seed mean |diff| is 0.0392 with corr 0.9901 — statistically
-    identical to ours-vs-reference). The gate is therefore: the difference
-    to the reference must not exceed our own self-noise by more than 20%.
+    Three independent reference runs (r64/b2, seeds 9/10/11 — generated
+    by scripts/generate_reference_golden.py) are averaged into R̄, three
+    of our own seeds into Ō (192 spp effective each). For UNBIASED
+    estimators of the same quantity, the per-pixel means differ by
+    N(0, 2σ²/3), so E|Ō − R̄| = d_self/√3 exactly, where d_self is the
+    mean pairwise |diff| between our own single runs (E|x−y| = 2σ/√π).
+    Averaged over 4800 pixel-channels the fluctuation of these means is
+    ~1.5%, so the 1.15 gate margin fails any systematic estimator bias
+    exceeding ~0.55× the (√3-reduced) per-pixel noise floor — a bound on
+    BIAS, not a ceiling proportional to our own noise.
     """
-    golden = _load_golden(16, 2)
-    cfg = RenderConfig(mode="reference", n_samples=16, n_bounces=2)
-    ours = np.asarray(render(cornell_scene, cfg, seed=9))
-    ours2 = np.asarray(render(cornell_scene, cfg, seed=123))
-
-    self_noise = np.abs(ours - ours2).mean()
-    diff = np.abs(ours - golden)
-    assert diff.mean() < self_noise * 1.2, (diff.mean(), self_noise)
-    corr = np.corrcoef(ours.ravel(), golden.ravel())[0, 1]
-    self_corr = np.corrcoef(ours.ravel(), ours2.ravel())[0, 1]
-    assert corr > self_corr - 0.005, (corr, self_corr)
+    goldens = [_load_golden(64, 2, seed=s) for s in (9, 10, 11)]
+    cfg = RenderConfig(mode="reference", n_samples=64, n_bounces=2)
+    ours = [
+        np.asarray(render(cornell_scene, cfg, seed=s)) for s in (9, 123, 456)
+    ]
+    d_self = np.mean([
+        np.abs(ours[i] - ours[j]).mean()
+        for i, j in ((0, 1), (0, 2), (1, 2))
+    ])
+    ours_mean = np.mean(ours, axis=0)
+    gold_mean = np.mean(goldens, axis=0)
+    diff = np.abs(ours_mean - gold_mean)
+    floor = d_self / np.sqrt(3.0)
+    assert diff.mean() < floor * 1.15, (diff.mean(), floor)
+    corr = np.corrcoef(ours_mean.ravel(), gold_mean.ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -186,3 +186,29 @@ def test_sort_order_is_permutation():
     n_live = int(alive_np.sum())
     assert alive_np[order[:n_live]].all()
     assert not alive_np[order[n_live:]].any()
+
+
+def test_chunked_wavefront_bitmatch(field_scene):
+    """Wavefronts wider than chunk_rb * r_blk split into multiple sparse
+    launches (the SMEM work-list budget, sparse_pallas.CHUNK_RB); results
+    and gradients must bit-match the dense sweep regardless of how many
+    chunks the wavefront spans."""
+    o3, d3 = _random_rays(700, seed=8)
+    kw = dict(r_blk=256, chunk_rb=1)  # 700 rays -> 3 chunks
+    assert_nearest_matches(field_scene, o3, d3, **kw)
+    maxd = jnp.full((o3.shape[1],), 8.0, jnp.float32)
+    occ_d = any_hit_pallas_cm(o3, d3, maxd, field_scene)
+    occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, **kw)
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
+
+    def loss_sparse(v0):
+        s = dataclasses.replace(field_scene, tri_v0=v0)
+        return jnp.sum(sp.sparse_nearest_t_idx_cm(o3, d3, s, **kw)[0])
+
+    def loss_dense(v0):
+        s = dataclasses.replace(field_scene, tri_v0=v0)
+        return jnp.sum(nearest_t_idx_cm(o3, d3, s)[0])
+
+    gs = jax.grad(loss_sparse)(field_scene.tri_v0)
+    gd = jax.grad(loss_dense)(field_scene.tri_v0)
+    np.testing.assert_array_equal(np.asarray(gd), np.asarray(gs))
