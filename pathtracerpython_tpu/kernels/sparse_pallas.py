@@ -73,7 +73,7 @@ IMAX = 2**31 - 1
 # for a whole chunk. MAXC therefore defaults to the packed-field maximum
 # (= "keep every candidate"); overflow is a TOTAL-budget event only.
 C_TRI = 128       # triangles per cluster (leaf granularity)
-R_BLK = 1024      # rays per block
+R_BLK = 512       # rays per block (r256 crashes the v5e worker; r1024 is ~10% slower end-to-end)
 MAXC = 4096       # per-block candidate cap; 4096 = the cl-field limit,
 #                   i.e. no cap beyond _check_limits' cluster bound
 W_PER_RB = 512    # average work-list slots per ray block in a launch

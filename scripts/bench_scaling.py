@@ -7,9 +7,17 @@ real slice the same script reports true scaling efficiency.
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/bench_scaling.py
+      python scripts/bench_scaling.py [--phases]
+
+``--phases`` adds a comm/compute breakdown for the geometry ring: each
+mesh is re-run with ``ppermute`` ablated to identity (results are then
+wrong — timing only), so ``comm_share = 1 - compute_only/full`` isolates
+the un-overlapped ICI cost. On the virtual CPU mesh this validates the
+plumbing; on a real slice it reports the true overlap efficiency that the
+docs/PERFORMANCE.md "Ring overlap" analysis predicts to be >99%.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -37,6 +45,11 @@ def main():
     from pathtracerpython_tpu.render.config import RenderConfig
     from pathtracerpython_tpu.scene import load_scene
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phases", action="store_true",
+                    help="ablate ring ppermute to isolate comm share")
+    args = ap.parse_args()
+
     n_dev = len(jax.devices())
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
 
@@ -45,6 +58,13 @@ def main():
         mode="fast", n_samples=2, n_bounces=2,
         backend="pallas" if jax.default_backend() == "tpu" else "xla",
     )
+
+    def timed(fn):
+        fn(0)  # compile
+        t0 = time.perf_counter()
+        for s in (1, 2, 3):
+            fn(s)
+        return (time.perf_counter() - t0) / 3
 
     results = {}
     sizes = [d for d in (1, 2, 4, 8, n_dev) if d <= n_dev]
@@ -55,16 +75,50 @@ def main():
             out = render_sharded(scene, cfg, mesh, seed=seed)
             return float(jnp.sum(out))
 
-        run(0)  # compile
-        t0 = time.perf_counter()
-        for s in (1, 2, 3):
-            run(s)
-        dt = (time.perf_counter() - t0) / 3
+        dt = timed(run)
         results[dp] = dt
         base = results[sizes[0]]
         eff = base / (dt * dp / sizes[0])
         print(f"dp={dp}: {dt*1e3:8.1f} ms/render  "
               f"scaling efficiency vs dp={sizes[0]}: {eff*100:5.1f}%")
+
+    if args.phases and n_dev >= 2:
+        # geometry-ring comm/compute split: time the geom mesh normally,
+        # then with the per-step triangle-shard rotation replaced by
+        # identity (same sweep count, zero ICI traffic; results WRONG —
+        # this is a timing ablation only).
+        from pathtracerpython_tpu.parallel import ring as ring_mod
+
+        geom = min(4, n_dev)
+        mesh = make_mesh(dp=n_dev // geom, geom=geom)
+        gcfg = RenderConfig(
+            mode="fast", n_samples=2, n_bounces=2, backend=cfg.backend,
+            geom_axis="geom", geom_axis_size=geom,
+        )
+
+        def run_geom(seed):
+            out = render_sharded(
+                scene, gcfg, mesh, seed=seed, geom_axis="geom"
+            )
+            return float(jnp.sum(out))
+
+        full = timed(run_geom)
+        orig = ring_mod._rotate_tri_shard
+        try:
+            ring_mod._rotate_tri_shard = lambda sc, axis, n: sc
+            jax.clear_caches()  # the ablation must retrace, not cache-hit
+            compute_only = timed(run_geom)
+        finally:
+            ring_mod._rotate_tri_shard = orig
+            jax.clear_caches()
+        comm_share = max(0.0, 1.0 - compute_only / full)
+        print(f"geom={geom}: full {full*1e3:.1f} ms, compute-only "
+              f"{compute_only*1e3:.1f} ms, un-overlapped comm share "
+              f"{comm_share*100:.1f}%")
+        results["geom_phases"] = {
+            "geom": geom, "full_s": full, "compute_only_s": compute_only,
+            "comm_share": comm_share,
+        }
 
     print(json.dumps({str(k): v for k, v in results.items()}))
 
