@@ -155,13 +155,18 @@ def _aabb_cull(aabb_ref, o_ref, d_ref, tmin_bound):
     )
 
 
-def _mt_rows(tri_ref, ox, oy, oz, dx, dy, dz):
+def _mt_rows(tri_ref, ox, oy, oz, dx, dy, dz, rows=None):
     """Möller–Trumbore with explicit per-component [1, R] ray rows.
 
     Returns (hit [T,R] bool, t [T,R]); ``hit`` includes the valid-lane mask
-    (column 9 of the pack) but NOT the occluder mask.
+    (column 9 of the pack) but NOT the occluder mask. ``rows=(lo, hi)``
+    restricts to a static row range of the triangle ref — sliced per
+    COLUMN access ([n, 1] loads), the only slice shape Mosaic accepts
+    from a (T, 12) VMEM ref (a row view's 12-wide minor dim violates the
+    128-lane tiling).
     """
-    col = lambda c: tri_ref[:, c:c + 1]          # [T, 1]
+    lo, hi = rows if rows is not None else (0, tri_ref.shape[0])
+    col = lambda c: tri_ref[lo:hi, c:c + 1]      # [n, 1]
 
     v0x, v0y, v0z = col(0), col(1), col(2)
     e1x, e1y, e1z = col(3) - v0x, col(4) - v0y, col(5) - v0z
@@ -196,12 +201,12 @@ def _mt_rows(tri_ref, ox, oy, oz, dx, dy, dz):
     return hit, t
 
 
-def _mt_block(tri_ref, o_ref, d_ref):
+def _mt_block(tri_ref, o_ref, d_ref, rows=None):
     """Möller–Trumbore for one [T_BLK x R_BLK] block ([3, R] ray refs)."""
     row = lambda ref, c: ref[c:c + 1, :]
     return _mt_rows(
         tri_ref, row(o_ref, 0), row(o_ref, 1), row(o_ref, 2),
-        row(d_ref, 0), row(d_ref, 1), row(d_ref, 2),
+        row(d_ref, 0), row(d_ref, 1), row(d_ref, 2), rows=rows,
     )
 
 

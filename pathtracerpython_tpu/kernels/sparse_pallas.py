@@ -33,9 +33,13 @@ Ray-block coherence is the performance model: the integrator re-sorts
 the wavefront by (octant, origin, direction) morton keys each bounce
 (ops/sort.py) so candidate lists stay short.
 
-Result contract: identical to the dense kernels (bit-identical on the
-sparse path; the XLA fallback computes the same Möller–Trumbore math in
-XLA's own scheduling). The winner is the lexicographic minimum over
+Result contract: identical to the dense kernels for every pair except
+u/v boundary-grazing hits (vertex/edge-aimed rays), where the compiled
+fma contraction of differently-shaped kernels legitimately differs by
+one ulp and flips ``u >= 0``-class predicates — the same measure-zero
+class the pallas-vs-XLA backend comparison tolerates
+(tests/test_pallas.py; grazing mismatches are verified as such by f64
+barycentric margin in tests/test_sparse.py). The winner is the lexicographic minimum over
 (t, global triangle index) — exactly the dense sweep's ascending-index,
 strict-less-than tie-break (= the reference's first-minimum ``min``,
 ``main.py:115``), but order-independent so candidate order cannot
@@ -72,7 +76,7 @@ IMAX = 2**31 - 1
 # clusters, so any per-block cap below n_clusters triggers the fallback
 # for a whole chunk. MAXC therefore defaults to the packed-field maximum
 # (= "keep every candidate"); overflow is a TOTAL-budget event only.
-C_TRI = 128       # triangles per cluster (leaf granularity)
+C_TRI = 128
 R_BLK = 512       # rays per block (r256 crashes the v5e worker; r1024 is ~10% slower end-to-end)
 MAXC = 4096       # per-block candidate cap; 4096 = the cl-field limit,
 #                   i.e. no cap beyond _check_limits' cluster bound
@@ -105,6 +109,48 @@ def use_sparse(accel: str, n_padded_tris: int) -> bool:
     if accel == "sparse":
         return True
     return accel == "auto" and n_padded_tris >= SPARSE_MIN_TRIS
+
+
+# Sub-tile gating: within a visited cluster, Möller–Trumbore can run per
+# SUB_TILE-triangle slice, each gated by its own (much tighter) AABB.
+# MEASURED NEGATIVE on the v5e (docs/PERFORMANCE.md): the sweep kernel is
+# per-item-overhead-bound, not MT-flop-bound — every sub-tile granularity
+# (16/32/64) lost 9-18% end-to-end because the extra @pl.when predication
+# inhibits Mosaic's load pipelining (same effect as the round-1 culling
+# lesson). 0 disables the sub loop (one full-tile MT per item); the
+# machinery stays for future finer-granularity experiments.
+SUB_TILE = 0
+
+
+def _n_sub(c_tri: int) -> int:
+    if SUB_TILE <= 0 or c_tri % SUB_TILE or c_tri == SUB_TILE:
+        return 1
+    return c_tri // SUB_TILE
+
+
+def cluster_sub_aabbs(tripack: jax.Array, c_tri: int) -> jax.Array:
+    """Per-sub-tile AABBs f32[C, 1, nsub*8], each 8-float group =
+    (min.xyz | max.xyz | 0 | 0); invalid-only slices get inverted boxes.
+    The trailing (1, nsub*8) matches the SMEM block exactly (same
+    non-tile-aligned lowering trick as the cluster AABB operand)."""
+    nsub = _n_sub(c_tri)
+    sub = c_tri // nsub
+    t = tripack.shape[0]
+    c = t // c_tri
+    tp = tripack.reshape(c * nsub, sub, 12)
+    valid = (tp[:, :, 9:10] > 0.5)[..., None]
+    vs = tp[:, :, 0:9].reshape(c * nsub, sub, 3, 3)
+    # inflate by an absolute epsilon: coplanar (axis-aligned face) slices
+    # have ZERO thickness, and the slab test's clamped inverse direction
+    # magnifies f32 rounding into huge spurious entry times for rays
+    # near-parallel to the flat axis — a thin shell makes the degenerate
+    # axis unconstrained instead (conservative: only adds candidates)
+    vmin = jnp.min(jnp.where(valid, vs, BIG), axis=(1, 2)) - 1e-4
+    vmax = jnp.max(jnp.where(valid, vs, -BIG), axis=(1, 2)) + 1e-4
+    boxes = jnp.concatenate(
+        [vmin, vmax, jnp.zeros((c * nsub, 2), tripack.dtype)], axis=1
+    )  # [C*nsub, 8]
+    return boxes.reshape(c, 1, nsub * 8)
 
 
 def cluster_aabbs(tripack: jax.Array, c_tri: int) -> jax.Array:
@@ -215,28 +261,41 @@ def candidate_worklist(
     return packed, ncand, overflow
 
 
-def _slab_rows(aabb_ref, o_rows, d_rows):
-    """Per-ray slab test vs one cluster AABB ((1, 1, 8) SMEM ref).
-
-    Returns (hit [1, R] bool, enter [1, R]) — enter clamped to >= 0.
-    Empty (inverted) cluster boxes fail for every lane.
-    """
-    enter = None
-    exit_ = None
+def _inv_rows(d_rows):
+    """Hoisted safe reciprocal of the direction rows (3 divisions per
+    item, shared by the cluster test and every sub-box test)."""
+    out = []
     for k in range(3):
         d_k = d_rows[k]
         safe_d = jnp.where(
             jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
         )
-        inv = 1.0 / safe_d
-        lo = (aabb_ref[0, 0, k] - o_rows[k]) * inv
-        hi = (aabb_ref[0, 0, k + 3] - o_rows[k]) * inv
+        out.append(1.0 / safe_d)
+    return out
+
+
+def _slab_rows_inv(box6, o_rows, inv_rows):
+    """Per-ray slab test vs one AABB given as 6 SMEM scalars
+    (min.xyz | max.xyz). Returns (hit [1, R] bool, enter [1, R]) — enter
+    clamped to >= 0. Empty (inverted) boxes fail for every lane."""
+    enter = None
+    exit_ = None
+    for k in range(3):
+        lo = (box6[k] - o_rows[k]) * inv_rows[k]
+        hi = (box6[k + 3] - o_rows[k]) * inv_rows[k]
         tn = jnp.minimum(lo, hi)
         tf = jnp.maximum(lo, hi)
         enter = tn if enter is None else jnp.maximum(enter, tn)
         exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
     hit = (exit_ >= jnp.maximum(enter, 0.0) - SLAB_EPS)
     return hit, jnp.maximum(enter, 0.0)
+
+
+def _slab_rows(aabb_ref, o_rows, d_rows):
+    """Per-ray slab test vs one cluster AABB ((1, 1, 8) SMEM ref)."""
+    return _slab_rows_inv(
+        [aabb_ref[0, 0, k] for k in range(6)], o_rows, _inv_rows(d_rows)
+    )
 
 
 def _ray_rows(ref):
@@ -252,8 +311,10 @@ def _decode(word):
 
 
 def _sparse_nearest_kernel(
-    pref, tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out,
+    pref, tri_ref, aabb_ref, *rest,
 ):
+    sub_ref = rest[0] if len(rest) == 5 else None
+    o_ref, d_ref, t_out, idx_out = rest[-4:]
     w = pl.program_id(0)
     cl, _, active, seg = _decode(pref[w])
 
@@ -264,34 +325,67 @@ def _sparse_nearest_kernel(
 
     @pl.when(active == 1)
     def _():
-        hit_l, enter = _slab_rows(aabb_ref, _ray_rows(o_ref), _ray_rows(d_ref))
+        o_rows = _ray_rows(o_ref)
+        inv_rows = _inv_rows(_ray_rows(d_ref))
+        hit_l, enter = _slab_rows_inv(
+            [aabb_ref[0, 0, k] for k in range(6)], o_rows, inv_rows
+        )
         needed = hit_l & (enter < t_out[:] + SLAB_EPS)
 
         @pl.when(jnp.any(needed))
         def _():
-            hit, t = _mt_block(tri_ref, o_ref, d_ref)
-            key = jnp.where(hit, t, BIG)
-            tile_min = jnp.min(key, axis=0, keepdims=True)      # [1, R]
             n_t = tri_ref.shape[0]
-            gidx = (
-                jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
-                + cl * n_t
-            )
-            cand = jnp.where((key == tile_min) & hit, gidx, IMAX)
-            tile_idx = jnp.min(cand, axis=0, keepdims=True)     # [1, R]
-            # lexicographic (t, index) minimum: order-independent, equals
-            # the dense sweep's ascending-index strict-< tie-break
-            better = (tile_idx != IMAX) & (
-                (tile_min < t_out[:])
-                | ((tile_min == t_out[:]) & (tile_idx < idx_out[:]))
-            )
-            t_out[:] = jnp.where(better, tile_min, t_out[:])
-            idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+            nsub = sub_ref.shape[2] // 8 if sub_ref is not None else 1
+            sub = n_t // nsub
+            for s in range(nsub):
+                # gate each SUB_TILE-triangle slice on its own tight box
+                if nsub > 1:
+                    s_hit, s_enter = _slab_rows_inv(
+                        [sub_ref[0, 0, s * 8 + k] for k in range(6)],
+                        o_rows, inv_rows,
+                    )
+                    need_s = needed & s_hit & (
+                        s_enter < t_out[:] + SLAB_EPS
+                    )
+                else:
+                    need_s = needed
+
+                @pl.when(jnp.any(need_s))
+                def _(s=s):
+                    # slice the REF per column (inside _mt_rows), exactly
+                    # like the dense kernel's whole-tile form — loading
+                    # the slice as an array first changes XLA's fma
+                    # contraction and flips u/v==0 boundary pairs by one
+                    # ulp, breaking the bit-identical-to-dense contract
+                    hit, t = _mt_block(
+                        tri_ref, o_ref, d_ref,
+                        rows=(s * sub, (s + 1) * sub),
+                    )
+                    key = jnp.where(hit, t, BIG)
+                    tile_min = jnp.min(key, axis=0, keepdims=True)  # [1, R]
+                    gidx = (
+                        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+                        + (cl * n_t + s * sub)
+                    )
+                    cand = jnp.where((key == tile_min) & hit, gidx, IMAX)
+                    tile_idx = jnp.min(cand, axis=0, keepdims=True)  # [1, R]
+                    # lexicographic (t, index) minimum: order-independent,
+                    # equals the dense sweep's ascending-index strict-<
+                    # tie-break (sequential slice merge preserves it: min
+                    # is exact, equal-t keeps the smaller global index)
+                    better = (tile_idx != IMAX) & (
+                        (tile_min < t_out[:])
+                        | ((tile_min == t_out[:]) & (tile_idx < idx_out[:]))
+                    )
+                    t_out[:] = jnp.where(better, tile_min, t_out[:])
+                    idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
 
 
 def _sparse_any_hit_kernel(
-    pref, tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out,
+    pref, tri_ref, aabb_ref, *rest,
 ):
+    sub_ref = rest[0] if len(rest) == 5 else None
+    o_ref, d_ref, maxd_ref, occ_out = rest[-4:]
     w = pl.program_id(0)
     _, _, active, seg = _decode(pref[w])
 
@@ -301,18 +395,42 @@ def _sparse_any_hit_kernel(
 
     @pl.when(active == 1)
     def _():
-        hit_l, enter = _slab_rows(aabb_ref, _ray_rows(o_ref), _ray_rows(d_ref))
+        o_rows = _ray_rows(o_ref)
+        inv_rows = _inv_rows(_ray_rows(d_ref))
+        hit_l, enter = _slab_rows_inv(
+            [aabb_ref[0, 0, k] for k in range(6)], o_rows, inv_rows
+        )
         needed = hit_l & (enter < maxd_ref[:] + SLAB_EPS) & (occ_out[:] < 0.5)
 
         @pl.when(jnp.any(needed))
         def _():
-            hit, t = _mt_block(tri_ref, o_ref, d_ref)
-            occluder = tri_ref[:, 10:11] > 0.5
-            blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
-            any_block = jnp.max(
-                jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
-            )
-            occ_out[:] = jnp.maximum(occ_out[:], any_block)
+            n_t = tri_ref.shape[0]
+            nsub = sub_ref.shape[2] // 8 if sub_ref is not None else 1
+            sub = n_t // nsub
+            for s in range(nsub):
+                if nsub > 1:
+                    s_hit, s_enter = _slab_rows_inv(
+                        [sub_ref[0, 0, s * 8 + k] for k in range(6)],
+                        o_rows, inv_rows,
+                    )
+                    need_s = needed & s_hit & (
+                        s_enter < maxd_ref[:] + SLAB_EPS
+                    ) & (occ_out[:] < 0.5)
+                else:
+                    need_s = needed
+
+                @pl.when(jnp.any(need_s))
+                def _(s=s):
+                    hit, t = _mt_block(
+                        tri_ref, o_ref, d_ref,
+                        rows=(s * sub, (s + 1) * sub),
+                    )
+                    occluder = tri_ref[s * sub:(s + 1) * sub, 10:11] > 0.5
+                    blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
+                    any_block = jnp.max(
+                        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+                    )
+                    occ_out[:] = jnp.maximum(occ_out[:], any_block)
 
 
 def _sparse_grid_spec(w_cap, c_tri, r_blk, *, n_outs, n_extra_ray_ins=0):
@@ -333,6 +451,11 @@ def _sparse_grid_spec(w_cap, c_tri, r_blk, *, n_outs, n_extra_ray_ins=0):
         (1, 1, 8), lambda w, p: (cl_of(p, w), 0, 0),
         memory_space=pltpu.SMEM,
     )
+    nsub = _n_sub(c_tri)
+    sub_spec = pl.BlockSpec(
+        (1, 1, nsub * 8), lambda w, p: (cl_of(p, w), 0, 0),
+        memory_space=pltpu.SMEM,
+    )
     ray_spec = pl.BlockSpec(
         (3, r_blk), lambda w, p: (0, rb_of(p, w)),
         memory_space=pltpu.VMEM,
@@ -341,7 +464,10 @@ def _sparse_grid_spec(w_cap, c_tri, r_blk, *, n_outs, n_extra_ray_ins=0):
         (1, r_blk), lambda w, p: (0, rb_of(p, w)),
         memory_space=pltpu.VMEM,
     )
-    in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec]
+    in_specs = [tri_spec, aabb_spec]
+    if nsub > 1:
+        in_specs.append(sub_spec)
+    in_specs += [ray_spec, ray_spec]
     in_specs += [row_spec] * n_extra_ray_ins
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -495,6 +621,7 @@ def _sparse_nearest_impl(o3, d3, tripack, statics):
     _check_limits(nrb, n_clusters)
     w_cap = _w_cap(nrb, w_per_rb)
     aabb8 = cluster_aabbs(tps, c_tri)
+    subs = (cluster_sub_aabbs(tps, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
     packed, ncand, overflow = candidate_worklist(
         aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
@@ -514,7 +641,7 @@ def _sparse_nearest_impl(o3, d3, tripack, statics):
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(packed, tps, aabb8[:, None, :], o3s, d3s)
+        )(packed, tps, aabb8[:, None, :], *subs, o3s, d3s)
         visited = _visited_mask(ncand, r_blk, n)
         return (
             jnp.where(visited, t_out[0], BIG),
@@ -549,6 +676,7 @@ def _sparse_any_hit(o3, d3, maxd, tripack, statics):
     _check_limits(nrb, n_clusters)
     w_cap = _w_cap(nrb, w_per_rb)
     aabb8 = cluster_aabbs(tripack, c_tri)
+    subs = (cluster_sub_aabbs(tripack, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
     packed, ncand, overflow = candidate_worklist(
         aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
@@ -568,7 +696,7 @@ def _sparse_any_hit(o3, d3, maxd, tripack, statics):
                 transcendentals=0,
             ),
             interpret=_interpret(),
-        )(packed, tripack, aabb8[:, None, :], o3, d3, maxd_row)[0]
+        )(packed, tripack, aabb8[:, None, :], *subs, o3, d3, maxd_row)[0]
         visited = _visited_mask(ncand, r_blk, n)
         return jnp.where(visited, occ[0] > 0.5, False)
 

@@ -12,7 +12,12 @@ The reference is executed unmodified from /root/reference with:
   - `random` seeded for reproducibility;
   - utils.make_image wrapped to capture its radiance input.
 
-Usage: python scripts/generate_reference_golden.py R B SEED
+Usage: python scripts/generate_reference_golden.py R B SEED [SCENE_SDL]
+
+An optional 4th argument points at an alternative SDL (e.g. a copy of
+cornellroom.sdl with ``size 128 128`` for the BASELINE config-0 shape);
+the captured width/height land in the npz and the filename gains a
+``_WxH`` suffix when not the native 40x40.
 """
 
 import sys
@@ -59,6 +64,7 @@ def _stub(name, **attrs):
 
 def main():
     r, b, seed = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    scene_override = sys.argv[4] if len(sys.argv) > 4 else None
 
     ipdb = _stub("ipdb", set_trace=lambda *a, **k: None)
     ipdb.__main__ = _stub("ipdb.__main__", set_trace=lambda *a, **k: None)
@@ -84,11 +90,13 @@ def main():
     def capture_make_image(x1, y1, x2, y2, width, height, intersections):
         captured["radiance"] = np.array([np.asarray(c, dtype=np.float64)
                                          for c, _ in intersections])
+        captured["wh"] = (width, height)
         return orig_make_image(x1, y1, x2, y2, width, height, intersections)
 
     ref_main.make_image = capture_make_image
 
-    scene_path = os.path.join(REFERENCE_DIR, "objs", "cornellroom.sdl")
+    scene_path = scene_override or os.path.join(
+        REFERENCE_DIR, "objs", "cornellroom.sdl")
     out_png = f"/tmp/ref_golden_r{r}_b{b}_s{seed}.png"
     sys.argv = ["main.py", scene_path, "--out", out_png,
                 "-r", str(r), "-b", str(b)]
@@ -98,11 +106,14 @@ def main():
     dt = time.time() - t0
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    out = os.path.join(GOLDEN_DIR, f"reference_r{r}_b{b}_seed{seed}.npz")
+    w, h = captured["wh"]
+    suffix = "" if (w, h) == (40, 40) else f"_{w}x{h}"
+    out = os.path.join(
+        GOLDEN_DIR, f"reference_r{r}_b{b}_seed{seed}{suffix}.npz")
     np.savez_compressed(
         out,
         radiance=captured["radiance"],
-        r=r, b=b, seed=seed, width=40, height=40,
+        r=r, b=b, seed=seed, width=w, height=h,
         wall_seconds=dt,
     )
     print(f"wrote {out} ({dt:.1f}s, {captured['radiance'].shape})")
