@@ -39,7 +39,8 @@ fma contraction of differently-shaped kernels legitimately differs by
 one ulp and flips ``u >= 0``-class predicates — the same measure-zero
 class the pallas-vs-XLA backend comparison tolerates
 (tests/test_pallas.py; grazing mismatches are verified as such by f64
-barycentric margin in tests/test_sparse.py). The winner is the lexicographic minimum over
+barycentric margin in tests/test_sparse.py). The winner is the
+lexicographic minimum over
 (t, global triangle index) — exactly the dense sweep's ascending-index,
 strict-less-than tie-break (= the reference's first-minimum ``min``,
 ``main.py:115``), but order-independent so candidate order cannot
@@ -170,7 +171,7 @@ def cluster_aabbs(tripack: jax.Array, c_tri: int) -> jax.Array:
 
 def candidate_worklist(
     aabb8: jax.Array, o3p: jax.Array, d3p: jax.Array, tmax_rb: jax.Array,
-    *, r_blk: int, maxc: int, w_cap: int,
+    *, r_blk: int, maxc: int, w_cap: int, trunc_k: int | None = None,
 ):
     """Conservative per-ray-block candidate clusters, front-to-back.
 
@@ -183,8 +184,17 @@ def candidate_worklist(
     interval straddles zero gives no constraint — which is why the
     integrator sorts rays into direction-coherent blocks first.
 
-    Returns (packed work list i32[w_cap], ncand i32[nrb], overflow bool);
-    ``overflow`` true means the caller must use the exact fallback.
+    Returns (packed work list i32[w_cap], ncand i32[nrb], overflow bool,
+    next_entry f32[nrb]); ``overflow`` true means the caller must use the
+    exact fallback.
+
+    ``trunc_k`` enables the two-pass protocol: keep only the first
+    ``trunc_k`` front-to-back candidates per block — NOT an overflow
+    event (the caller resolves unfinished lanes in a second pass) —
+    and report ``next_entry``, the conservative entry bound of the first
+    candidate DROPPED per block (BIG when nothing was dropped). Any
+    unseen cluster's per-ray entry is >= this bound, so a lane whose
+    best-so-far beats it is provably final.
     """
     c = aabb8.shape[0]
     nrb = o3p.shape[1] // r_blk
@@ -226,9 +236,17 @@ def candidate_worklist(
 
     # front-to-back compaction: top_k of negative entry bound = the maxc
     # nearest candidate clusters per block, already sorted by entry
-    mc = min(maxc, c)
+    mc = min(trunc_k if trunc_k is not None else maxc, c)
     key = jnp.where(hit, jnp.maximum(enter, 0.0), BIG)
-    _, idxs = lax.top_k(-key, mc)                       # [nrb, mc]
+    nk = min(mc + 1, c) if trunc_k is not None else mc
+    vals, idxs = lax.top_k(-key, nk)                    # [nrb, nk]
+    if trunc_k is not None and nk > mc:
+        # entry bound of the first dropped candidate; key is BIG for
+        # non-candidates, so blocks with <= mc candidates report BIG
+        next_entry = -vals[:, mc]
+        idxs = idxs[:, :mc]
+    else:
+        next_entry = jnp.full((nrb,), BIG, o3p.dtype)
     ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
     ncand = jnp.minimum(ncand_full, mc)
 
@@ -257,8 +275,11 @@ def candidate_worklist(
     tail_word = packed[last] & ~((1 << _ACT_BIT) | (1 << _SEG_BIT))
     packed = jnp.where(iw < total, packed, tail_word)
 
-    overflow = jnp.any(ncand_full > mc) | (total > w_cap)
-    return packed, ncand, overflow
+    if trunc_k is not None:
+        overflow = total > w_cap  # truncation is NOT overflow
+    else:
+        overflow = jnp.any(ncand_full > mc) | (total > w_cap)
+    return packed, ncand, overflow, next_entry
 
 
 def _inv_rows(d_rows):
@@ -604,27 +625,42 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 
 # ---------------------------------------------------------------------------
 # Entry points
+#
+# Two-pass protocol (the lane-compaction win): pass 1 sweeps only the
+# first PASS1_K front-to-back candidate clusters of every block — on the
+# measured 100k-box-field wavefronts most shadow rays occlude and most
+# camera rays hit within 1-2 clusters, so the expensive tail belongs to
+# a minority of lanes. Lanes that are provably final (best-so-far beats
+# the entry bound of the first candidate pass 1 dropped) keep their
+# result; the survivors are COMPACTED into a wavefront a quarter the
+# size and re-swept with full candidate lists. Results are identical to
+# the single-pass sweep: survivor detection is conservative and pass 2
+# re-tests everything its lanes could need.
+
+PASS1_K = 4        # pass-1 candidate clusters per block
+M_DIV = 2          # pass-2 wavefront cap = ceil(n / M_DIV)
+TWO_PASS_MIN = 32768  # below this ray count the two launches cannot pay
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _sparse_nearest(o3, d3, tripack, statics):
-    return _sparse_nearest_impl(o3, d3, tripack, statics)
-
-
-def _sparse_nearest_impl(o3, d3, tripack, statics):
-    c_tri, r_blk, maxc, w_per_rb = statics
+def _nearest_chunk(o3, d3, tripack, statics):
+    """One-chunk sparse nearest. statics = (c_tri, r_blk, maxc,
+    w_per_rb, trunc_k). Returns (t [n] — BIG on miss, idx [n] — -1,
+    next_entry [n] — per-lane conservative bound of the first candidate
+    the truncated list dropped; BIG when the list was complete)."""
+    c_tri, r_blk, maxc, w_per_rb, trunc_k = statics
     sg = lax.stop_gradient
     o3s, d3s, tps = sg(o3), sg(d3), sg(tripack)
     n = o3.shape[1]
     nrb = n // r_blk
     n_clusters = tps.shape[0] // c_tri
     _check_limits(nrb, n_clusters)
-    w_cap = _w_cap(nrb, w_per_rb)
+    w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
     aabb8 = cluster_aabbs(tps, c_tri)
     subs = (cluster_sub_aabbs(tps, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
-    packed, ncand, overflow = candidate_worklist(
+    packed, ncand, overflow, next_entry = candidate_worklist(
         aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+        trunc_k=trunc_k or None,
     )
 
     def sparse_branch(_):
@@ -649,37 +685,30 @@ def _sparse_nearest_impl(o3, d3, tripack, statics):
         )
 
     def fallback_branch(_):
+        # exact full sweep: every lane is final regardless of trunc_k
         return _xla_nearest_t_idx(o3s, d3s, tps)
 
-    return lax.cond(overflow, fallback_branch, sparse_branch, None)
+    t, idx = lax.cond(overflow, fallback_branch, sparse_branch, None)
+    ne = jnp.where(overflow, BIG, next_entry)
+    ne_lane = jnp.repeat(ne, r_blk, total_repeat_length=n)
+    return t, idx, ne_lane
 
 
-def _sparse_nearest_fwd(o3, d3, tripack, statics):
-    t, idx = _sparse_nearest(o3, d3, tripack, statics)
-    return (t, idx), (o3, d3, tripack, idx)
-
-
-def _sparse_nearest_bwd(statics, res, cots):
-    return _nearest_bwd(res, cots)
-
-
-_sparse_nearest.defvjp(_sparse_nearest_fwd, _sparse_nearest_bwd)
-
-
-def _sparse_any_hit(o3, d3, maxd, tripack, statics):
-    """Occlusion is binary -> fully detached (inputs are stop_gradient'ed
-    by the caller); no custom_vjp needed."""
-    c_tri, r_blk, maxc, w_per_rb = statics
+def _any_hit_chunk(o3, d3, maxd, tripack, statics):
+    """One-chunk sparse shadow occlusion (fully detached — binary).
+    Returns (occ bool [n], next_entry [n] per-lane)."""
+    c_tri, r_blk, maxc, w_per_rb, trunc_k = statics
     n = o3.shape[1]
     nrb = n // r_blk
     n_clusters = tripack.shape[0] // c_tri
     _check_limits(nrb, n_clusters)
-    w_cap = _w_cap(nrb, w_per_rb)
+    w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
     aabb8 = cluster_aabbs(tripack, c_tri)
     subs = (cluster_sub_aabbs(tripack, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
-    packed, ncand, overflow = candidate_worklist(
+    packed, ncand, overflow, next_entry = candidate_worklist(
         aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+        trunc_k=trunc_k or None,
     )
     maxd_row = maxd[None, :]
 
@@ -703,7 +732,9 @@ def _sparse_any_hit(o3, d3, maxd, tripack, statics):
     def fallback_branch(_):
         return _xla_any_hit(o3, d3, maxd, tripack)
 
-    return lax.cond(overflow, fallback_branch, sparse_branch, None)
+    occ = lax.cond(overflow, fallback_branch, sparse_branch, None)
+    ne = jnp.where(overflow, BIG, next_entry)
+    return occ, jnp.repeat(ne, r_blk, total_repeat_length=n)
 
 
 def _pack_for_sparse(scene, c_tri):
@@ -745,53 +776,143 @@ def _map_ray_chunks(fn, arrays, r_blk: int, chunk_rb: int):
     return out.reshape(-1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _sparse_nearest_wide(o3, d3, tripack, statics, chunk_rb):
-    """Chunk-mapped sparse nearest with ONE backward re-solve over the
-    whole wavefront: per-chunk vjps would sum scatter-adds in a different
-    order than the dense kernel's single vjp, breaking the bit-identical
-    gradient contract (tests/test_sparse.py)."""
-    sg = lax.stop_gradient
-    return _map_ray_chunks(
-        lambda o, d: _sparse_nearest_impl(o, d, tripack, statics),
-        [sg(o3), sg(d3)], statics[1], chunk_rb,
+def _pass2_size(n_pad: int, r_blk: int, m_div: int) -> int:
+    m = max(r_blk, -(-n_pad // m_div))
+    return -(-m // r_blk) * r_blk
+
+
+def _compact_select(unfinished, m):
+    """Stable compaction: slot s of the result holds the lane index of
+    the s-th unfinished lane. Returns (sel i32[m], count); slots past the
+    count keep 0 — callers must PARK those slots' rays (so pass-2 cost
+    scales with the real survivor count, not the cap) and mask the
+    scatter-back to slots < count."""
+    n = unfinished.shape[0]
+    pos = jnp.cumsum(unfinished.astype(jnp.int32)) - 1
+    cnt = jnp.sum(unfinished.astype(jnp.int32))
+    slots = jnp.where(unfinished & (pos < m), pos, m)
+    sel = jnp.zeros(m, jnp.int32).at[slots].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
+    return sel, cnt
 
 
-def _wide_fwd(o3, d3, tripack, statics, chunk_rb):
-    t, idx = _sparse_nearest_wide(o3, d3, tripack, statics, chunk_rb)
+def _gather_parked(o3_p, d3_p, sel, cnt):
+    """Gather survivor rays; slots past the count become PARKED rays
+    (pointing away from everything -> zero candidates, near-zero cost)."""
+    from pathtracerpython_tpu.ops.sort import PARK_DIR, PARK_ORIGIN
+
+    valid = (jnp.arange(sel.shape[0]) < cnt)[None, :]
+    park_o = jnp.asarray(PARK_ORIGIN, o3_p.dtype)[:, None]
+    park_d = jnp.asarray(PARK_DIR, d3_p.dtype)[:, None]
+    o2 = jnp.where(valid, jnp.take(o3_p, sel, axis=1), park_o)
+    d2 = jnp.where(valid, jnp.take(d3_p, sel, axis=1), park_d)
+    return o2, d2, valid[0]
+
+
+def _scatter_back(dst, sel, valid_slot, src_vals, n_sentinel):
+    idx = jnp.where(valid_slot, sel, n_sentinel)
+    return dst.at[idx].set(src_vals, mode="drop")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _sparse_nearest_entry(o3, d3, tripack, statics, chunk_rb, two_k, m_div):
+    """Chunk-mapped (and optionally two-pass) sparse nearest with ONE
+    backward re-solve over the whole wavefront: per-chunk vjps would sum
+    scatter-adds in a different order than the dense kernel's single
+    vjp, breaking the bit-identical gradient contract."""
+    sg = lax.stop_gradient
+    o3, d3 = sg(o3), sg(d3)
+    r_blk = statics[1]
+
+    def run(o, d, trunc_k):
+        return _map_ray_chunks(
+            lambda oc, dc: _nearest_chunk(
+                oc, dc, tripack, statics + (trunc_k,)
+            ),
+            [o, d], r_blk, chunk_rb,
+        )
+
+    if not two_k:
+        t, idx, _ = run(o3, d3, 0)
+        return t, idx
+
+    t1, i1, ne = run(o3, d3, two_k)
+    # conservative finality: any unseen cluster's per-lane entry >= ne,
+    # so a lane is final unless ne could still beat its best (same
+    # SLAB_EPS slack as the kernel's entry-vs-best test)
+    unfinished = ne < t1 + SLAB_EPS
+    n_pad = t1.shape[0]
+    pad_mult = chunk_rb * r_blk if o3.shape[1] > chunk_rb * r_blk else r_blk
+    o3_p = _pad_repeat_last(o3, pad_mult)
+    d3_p = _pad_repeat_last(d3, pad_mult)
+    assert o3_p.shape[1] == n_pad, (o3_p.shape, n_pad)
+    m = _pass2_size(n_pad, r_blk, m_div)
+    sel, cnt = _compact_select(unfinished, m)
+
+    def small(_):
+        o2, d2, valid = _gather_parked(o3_p, d3_p, sel, cnt)
+        t2, i2, _ = run(o2, d2, 0)
+        return (
+            _scatter_back(t1, sel, valid, t2[:m], n_pad),
+            _scatter_back(i1, sel, valid, i2[:m], n_pad),
+        )
+
+    def big(_):
+        t2, i2, _ = run(o3, d3, 0)
+        return t2, i2
+
+    return lax.cond(cnt <= m, small, big, None)
+
+
+def _entry_fwd(o3, d3, tripack, statics, chunk_rb, two_k, m_div):
+    t, idx = _sparse_nearest_entry(
+        o3, d3, tripack, statics, chunk_rb, two_k, m_div
+    )
     n = o3.shape[1]
     return (t, idx), (o3, d3, tripack, idx[:n])
 
 
-def _wide_bwd(statics, chunk_rb, res, cots):
+def _entry_bwd(statics, chunk_rb, two_k, m_div, res, cots):
     o3, d3, tripack, idx = res
     n = o3.shape[1]
     return _nearest_bwd((o3, d3, tripack, idx), (cots[0][:n], None))
 
 
-_sparse_nearest_wide.defvjp(_wide_fwd, _wide_bwd)
+_sparse_nearest_entry.defvjp(_entry_fwd, _entry_bwd)
+
+
+def _resolve_two_pass(two_pass, n, default_on):
+    if two_pass is None:  # auto
+        return PASS1_K if (default_on and n >= TWO_PASS_MIN) else 0
+    return int(two_pass)
 
 
 def sparse_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
+    two_pass: int | None = None, m_div: int = M_DIV,
 ):
     """Component-major sparse nearest hit. o3/d3_unit f32[3, N] (N
     unpadded, d3_unit normalized). Returns (t [N] — 0 on miss,
-    idx [N] — -1 on miss), equal to the dense kernel's result."""
+    idx [N] — -1 on miss), equal to the dense kernel's result.
+
+    ``two_pass``: pass-1 candidate clusters per block (None = auto:
+    PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables)."""
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
     statics = (c_tri, r_blk, maxc, w_per_rb)
-    if n <= chunk_rb * r_blk:
-        o3p = _pad_repeat_last(o3, r_blk)
-        d3p = _pad_repeat_last(d3_unit, r_blk)
-        t, idx = _sparse_nearest(o3p, d3p, tripack, statics)
-    else:
-        t, idx = _sparse_nearest_wide(
-            o3, d3_unit, tripack, statics, chunk_rb
-        )
+    # auto keeps two-pass OFF for nearest: bounce wavefronts originate
+    # ON geometry inside many overlapping cluster AABBs (entry 0), so the
+    # block-level finality bound marks nearly every lane unfinished and
+    # the second pass degenerates to a full re-sweep (measured: 2084 vs
+    # 1883 ms on the 100k box field). Occlusion gives any-hit a true
+    # per-lane finality signal; nearest needs per-lane candidate ranks.
+    t, idx = _sparse_nearest_entry(
+        o3, d3_unit, tripack, statics, chunk_rb,
+        _resolve_two_pass(two_pass, n, default_on=False), m_div,
+    )
     t, idx = t[:n], idx[:n]
     return jnp.where(idx >= 0, t, 0.0), idx
 
@@ -800,14 +921,47 @@ def sparse_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
+    two_pass: int | None = None, m_div: int = M_DIV,
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
     n = o3.shape[1]
     sg = lax.stop_gradient
     tripack = sg(_pack_for_sparse(scene, c_tri))
+    o3, d3_unit = sg(o3), sg(d3_unit)
+    max_dist = sg(max_dist)
     statics = (c_tri, r_blk, maxc, w_per_rb)
-    occ = _map_ray_chunks(
-        lambda o, d, m: _sparse_any_hit(o, d, m[0], tripack, statics),
-        [sg(o3), sg(d3_unit), sg(max_dist)[None, :]], r_blk, chunk_rb,
-    )
-    return occ[:n]
+    two_k = _resolve_two_pass(two_pass, n, default_on=True)
+
+    def run(o, d, md, trunc_k):
+        return _map_ray_chunks(
+            lambda oc, dc, mc: _any_hit_chunk(
+                oc, dc, mc[0], tripack, statics + (trunc_k,)
+            ),
+            [o, d, md[None, :]], r_blk, chunk_rb,
+        )
+
+    if not two_k:
+        return run(o3, d3_unit, max_dist, 0)[0][:n]
+
+    occ1, ne = run(o3, d3_unit, max_dist, two_k)
+    n_pad = occ1.shape[0]
+    pad_mult = chunk_rb * r_blk if n > chunk_rb * r_blk else r_blk
+    o3_p = _pad_repeat_last(o3, pad_mult)
+    d3_p = _pad_repeat_last(d3_unit, pad_mult)
+    md_p = _pad_repeat_last(max_dist[None, :], pad_mult)[0]
+    # unoccluded lanes whose block saw its whole candidate list
+    # (ne == BIG) are final; the rest must re-check in pass 2
+    unfinished = (~occ1) & (ne < md_p + SLAB_EPS)
+    m = _pass2_size(n_pad, r_blk, m_div)
+    sel, cnt = _compact_select(unfinished, m)
+
+    def small(_):
+        o2, d2, valid = _gather_parked(o3_p, d3_p, sel, cnt)
+        md2 = jnp.where(valid, jnp.take(md_p, sel), 1.0)
+        occ2, _ = run(o2, d2, md2, 0)
+        return _scatter_back(occ1, sel, valid, occ2[:m], n_pad)
+
+    def big(_):
+        return run(o3, d3_unit, max_dist, 0)[0]
+
+    return lax.cond(cnt <= m, small, big, None)[:n]

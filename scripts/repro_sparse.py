@@ -34,20 +34,21 @@ def main() -> None:
     from pathtracerpython_tpu.scene.arrays import pack_scene
     from pathtracerpython_tpu.scene.synthetic import box_field_scene
 
+    import jax.numpy as _jnp
+
     if args.nee_xla:
-        sp._sparse_any_hit = (
-            lambda o3, d3, maxd, tripack, statics:
-            sp._xla_any_hit(o3, d3, maxd, tripack)
+        sp._any_hit_chunk = (
+            lambda o3, d3, maxd, tripack, statics: (
+                sp._xla_any_hit(o3, d3, maxd, tripack),
+                _jnp.full((o3.shape[1],), sp.BIG, o3.dtype),
+            )
         )
     if args.nearest_xla:
-        orig_impl = sp._sparse_nearest_impl
-
         def impl(o3, d3, tripack, statics):
-            return sp._xla_nearest_t_idx(o3, d3, tripack)
+            t, i = sp._xla_nearest_t_idx(o3, d3, tripack)
+            return t, i, _jnp.full((o3.shape[1],), sp.BIG, o3.dtype)
 
-        sp._sparse_nearest_impl = impl
-        # rebuild the custom_vjp wrapper around the patched impl
-        del orig_impl
+        sp._nearest_chunk = impl
 
     print(f"platform: {jax.default_backend()}", file=sys.stderr)
     w = h = args.size

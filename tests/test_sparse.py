@@ -300,3 +300,56 @@ def test_chunked_wavefront_bitmatch(field_scene):
     gs = jax.grad(loss_sparse)(field_scene.tri_v0)
     gd = jax.grad(loss_dense)(field_scene.tri_v0)
     np.testing.assert_array_equal(np.asarray(gd), np.asarray(gs))
+
+
+def test_two_pass_bitmatch(field_scene):
+    """Two-pass (truncated pass 1 + compacted full pass 2) must equal
+    the single-pass sweep exactly, for nearest AND any-hit, including
+    gradients — survivor detection is conservative and pass 2 re-tests
+    everything its lanes could need."""
+    o3, d3 = _random_rays(700, seed=21)
+    t_1, i_1 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene, two_pass=0)
+    t_2, i_2 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene, two_pass=4)
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
+    np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_2))
+
+    maxd = jnp.full((o3.shape[1],), 8.0, jnp.float32)
+    o_1 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0)
+    o_2 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=4)
+    np.testing.assert_array_equal(np.asarray(o_1), np.asarray(o_2))
+
+    def loss(v0, k):
+        s = dataclasses.replace(field_scene, tri_v0=v0)
+        return jnp.sum(sp.sparse_nearest_t_idx_cm(o3, d3, s, two_pass=k)[0])
+
+    g1 = jax.grad(loss)(field_scene.tri_v0, 0)
+    g2 = jax.grad(loss)(field_scene.tri_v0, 4)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_two_pass_overflow_cap(field_scene):
+    """When survivors exceed the pass-2 cap, the big branch re-sweeps
+    the whole wavefront — results still exact."""
+    o3, d3 = _random_rays(700, seed=22)
+    # m_div so large the cap is one ray block -> cnt > m -> big branch
+    t_1, i_1 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene, two_pass=0)
+    t_2, i_2 = sp.sparse_nearest_t_idx_cm(
+        o3, d3, field_scene, two_pass=1, m_div=10**6
+    )
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
+    np.testing.assert_array_equal(np.asarray(t_1), np.asarray(t_2))
+
+
+def test_two_pass_chunked(field_scene):
+    """Two-pass composes with launch chunking (wavefront > chunk)."""
+    o3, d3 = _random_rays(700, seed=23)
+    kw = dict(r_blk=256, chunk_rb=1)
+    t_1, i_1 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                          two_pass=0, **kw)
+    t_2, i_2 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                          two_pass=2, **kw)
+    np.testing.assert_array_equal(np.asarray(i_1), np.asarray(i_2))
+    maxd = jnp.full((o3.shape[1],), 8.0, jnp.float32)
+    o_1 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0, **kw)
+    o_2 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=2, **kw)
+    np.testing.assert_array_equal(np.asarray(o_1), np.asarray(o_2))
