@@ -88,3 +88,43 @@ def test_converged_radiance_bias_bound_b2(cornell_scene):
     assert diff.mean() < floor * 1.15, (diff.mean(), floor)
     corr = np.corrcoef(ours_mean.ravel(), gold_mean.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_baseline_config0_shape(tmp_path):
+    """The literal BASELINE configs[0] gate: 128x128, 16 spp, 2 bounces,
+    reference semantics, against a full reference-program capture at the
+    same shape (scripts/generate_reference_golden.py 16 2 9 <sdl-128>).
+
+    One run per side, so the gate is noise-calibrated: for unbiased
+    estimators of the same quantity with matched per-pixel variance,
+    E|ours - ref| equals our own seed-to-seed E|diff| exactly; averaged
+    over 49k pixel-channels its fluctuation is ~0.3%, so the 1.05 margin
+    bounds systematic bias at ~0.3 sigma per pixel."""
+    import shutil
+
+    path = os.path.join(GOLDEN_DIR, "reference_r16_b2_seed9_128x128.npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden not generated: {path}")
+    golden = np.load(path)["radiance"]
+
+    sdl_dir = tmp_path / "objs"
+    shutil.copytree("/root/reference/objs", sdl_dir)
+    sdl = sdl_dir / "cornellroom.sdl"
+    text = sdl.read_text().replace("size 40 40", "size 128 128")
+    assert "size 128 128" in text
+    sdl.write_text(text)
+
+    from pathtracerpython_tpu.scene import load_scene
+
+    scene = load_scene(str(sdl))
+    assert scene.meta.width == scene.meta.height == 128
+    cfg = RenderConfig(mode="reference", n_samples=16, n_bounces=2)
+    ours = np.asarray(render(scene, cfg, seed=9))
+    ours2 = np.asarray(render(scene, cfg, seed=123))
+
+    d_self = np.abs(ours - ours2).mean()
+    diff = np.abs(ours - golden)
+    assert diff.mean() < d_self * 1.05, (diff.mean(), d_self)
+    corr = np.corrcoef(ours.ravel(), golden.ravel())[0, 1]
+    self_corr = np.corrcoef(ours.ravel(), ours2.ravel())[0, 1]
+    assert corr > self_corr - 0.002, (corr, self_corr)
