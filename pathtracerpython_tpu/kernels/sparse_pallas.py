@@ -638,6 +638,7 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 # re-tests everything its lanes could need.
 
 PASS1_K = 4        # pass-1 candidate clusters per block
+GRID_SMALL_DIV = 4  # short-grid cascade: try w_cap/4 steps first
 M_DIV = 2          # pass-2 wavefront cap = ceil(n / M_DIV)
 TWO_PASS_MIN = 32768  # below this ray count the two launches cannot pay
 
@@ -663,26 +664,41 @@ def _nearest_chunk(o3, d3, tripack, statics):
         trunc_k=trunc_k or None,
     )
 
+    def launch(cap):
+        # the grid iterates cap STATIC steps even when most items are
+        # inactive padding; a short-grid variant runs whenever the real
+        # item total fits, so tail churn scales with actual work
+        def go(_):
+            t_out, idx_out = pl.pallas_call(
+                _sparse_nearest_kernel,
+                grid_spec=_sparse_grid_spec(cap, c_tri, r_blk, n_outs=2),
+                out_shape=[
+                    jax.ShapeDtypeStruct((1, n), o3.dtype),
+                    jax.ShapeDtypeStruct((1, n), jnp.int32),
+                ],
+                cost_estimate=pl.CostEstimate(
+                    flops=90 * cap * c_tri * r_blk,
+                    bytes_accessed=(n * 6 + cap * c_tri * 12) * 4,
+                    transcendentals=0,
+                ),
+                interpret=_interpret(),
+            )(packed[:cap], tps, aabb8[:, None, :], *subs, o3s, d3s)
+            visited = _visited_mask(ncand, r_blk, n)
+            return (
+                jnp.where(visited, t_out[0], BIG),
+                jnp.where(visited, idx_out[0], -1),
+            )
+        return go
+
+    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
+
     def sparse_branch(_):
-        t_out, idx_out = pl.pallas_call(
-            _sparse_nearest_kernel,
-            grid_spec=_sparse_grid_spec(w_cap, c_tri, r_blk, n_outs=2),
-            out_shape=[
-                jax.ShapeDtypeStruct((1, n), o3.dtype),
-                jax.ShapeDtypeStruct((1, n), jnp.int32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=90 * w_cap * c_tri * r_blk,
-                bytes_accessed=(n * 6 + w_cap * c_tri * 12) * 4,
-                transcendentals=0,
-            ),
-            interpret=_interpret(),
-        )(packed, tps, aabb8[:, None, :], *subs, o3s, d3s)
-        visited = _visited_mask(ncand, r_blk, n)
-        return (
-            jnp.where(visited, t_out[0], BIG),
-            jnp.where(visited, idx_out[0], -1),
-        )
+        if small_cap < w_cap:
+            return lax.cond(
+                jnp.sum(ncand) <= small_cap,
+                launch(small_cap), launch(w_cap), None,
+            )
+        return launch(w_cap)(None)
 
     def fallback_branch(_):
         # exact full sweep: every lane is final regardless of trunc_k
@@ -712,22 +728,35 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
     )
     maxd_row = maxd[None, :]
 
+    def launch(cap):
+        def go(_):
+            occ = pl.pallas_call(
+                _sparse_any_hit_kernel,
+                grid_spec=_sparse_grid_spec(
+                    cap, c_tri, r_blk, n_outs=1, n_extra_ray_ins=1,
+                ),
+                out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
+                cost_estimate=pl.CostEstimate(
+                    flops=90 * cap * c_tri * r_blk,
+                    bytes_accessed=(n * 7 + cap * c_tri * 12) * 4,
+                    transcendentals=0,
+                ),
+                interpret=_interpret(),
+            )(packed[:cap], tripack, aabb8[:, None, :], *subs, o3, d3,
+              maxd_row)[0]
+            visited = _visited_mask(ncand, r_blk, n)
+            return jnp.where(visited, occ[0] > 0.5, False)
+        return go
+
+    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
+
     def sparse_branch(_):
-        occ = pl.pallas_call(
-            _sparse_any_hit_kernel,
-            grid_spec=_sparse_grid_spec(
-                w_cap, c_tri, r_blk, n_outs=1, n_extra_ray_ins=1,
-            ),
-            out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
-            cost_estimate=pl.CostEstimate(
-                flops=90 * w_cap * c_tri * r_blk,
-                bytes_accessed=(n * 7 + w_cap * c_tri * 12) * 4,
-                transcendentals=0,
-            ),
-            interpret=_interpret(),
-        )(packed, tripack, aabb8[:, None, :], *subs, o3, d3, maxd_row)[0]
-        visited = _visited_mask(ncand, r_blk, n)
-        return jnp.where(visited, occ[0] > 0.5, False)
+        if small_cap < w_cap:
+            return lax.cond(
+                jnp.sum(ncand) <= small_cap,
+                launch(small_cap), launch(w_cap), None,
+            )
+        return launch(w_cap)(None)
 
     def fallback_branch(_):
         return _xla_any_hit(o3, d3, maxd, tripack)
