@@ -639,8 +639,24 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 
 PASS1_K = 4        # pass-1 candidate clusters per block
 GRID_SMALL_DIV = 4  # short-grid cascade: try w_cap/4 steps first
+GRID_CASCADE_MIN = 4096  # don't compile a second variant for tiny grids
 M_DIV = 2          # pass-2 wavefront cap = ceil(n / M_DIV)
 TWO_PASS_MIN = 32768  # below this ray count the two launches cannot pay
+
+
+
+
+def _grid_cascade(launch, ncand, nrb, w_cap):
+    """Pick the short- or full-grid variant of ``launch`` by the real
+    item total. Compiling a second Mosaic variant only pays when the
+    full grid is long (GRID_CASCADE_MIN); below that, one launch."""
+    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
+    if small_cap >= w_cap or w_cap < GRID_CASCADE_MIN:
+        return launch(w_cap)(None)
+    return lax.cond(
+        jnp.sum(ncand) <= small_cap, launch(small_cap), launch(w_cap), None
+    )
+
 
 
 def _nearest_chunk(o3, d3, tripack, statics):
@@ -690,15 +706,8 @@ def _nearest_chunk(o3, d3, tripack, statics):
             )
         return go
 
-    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
-
     def sparse_branch(_):
-        if small_cap < w_cap:
-            return lax.cond(
-                jnp.sum(ncand) <= small_cap,
-                launch(small_cap), launch(w_cap), None,
-            )
-        return launch(w_cap)(None)
+        return _grid_cascade(launch, ncand, nrb, w_cap)
 
     def fallback_branch(_):
         # exact full sweep: every lane is final regardless of trunc_k
@@ -748,15 +757,8 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
             return jnp.where(visited, occ[0] > 0.5, False)
         return go
 
-    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
-
     def sparse_branch(_):
-        if small_cap < w_cap:
-            return lax.cond(
-                jnp.sum(ncand) <= small_cap,
-                launch(small_cap), launch(w_cap), None,
-            )
-        return launch(w_cap)(None)
+        return _grid_cascade(launch, ncand, nrb, w_cap)
 
     def fallback_branch(_):
         return _xla_any_hit(o3, d3, maxd, tripack)

@@ -353,3 +353,32 @@ def test_two_pass_chunked(field_scene):
     o_1 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0, **kw)
     o_2 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=2, **kw)
     np.testing.assert_array_equal(np.asarray(o_1), np.asarray(o_2))
+
+
+def test_grid_cascade_branches(field_scene, monkeypatch):
+    """Both short-grid and full-grid cascade variants must produce the
+    dense result; GRID_SMALL_DIV / GRID_CASCADE_MIN are forced so each
+    lax.cond branch runs deterministically regardless of scene data."""
+    o3, d3 = _random_rays(700, seed=31)
+    t_ref, i_ref = nearest_t_idx_cm(o3, d3, field_scene)
+    maxd = jnp.full((o3.shape[1],), 8.0, jnp.float32)
+    occ_ref = any_hit_pallas_cm(o3, d3, maxd, field_scene)
+
+    monkeypatch.setattr(sp, "GRID_CASCADE_MIN", 1)
+    for div in (10**6, 1):
+        # div=1e6 -> small_cap = nrb (totals always exceed it: FULL grid)
+        # div=1   -> small_cap = w_cap (cascade statically disabled)
+        monkeypatch.setattr(sp, "GRID_SMALL_DIV", div)
+        t_s, i_s = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                              two_pass=0)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_s))
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_s))
+        occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0)
+        np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_s))
+
+    # div=2 with a huge per-block budget -> totals fit: SHORT grid runs
+    monkeypatch.setattr(sp, "GRID_SMALL_DIV", 2)
+    t_s, i_s = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                          two_pass=0, w_per_rb=512)
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_s))
+    np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_s))
