@@ -161,15 +161,47 @@ def _morton_argsort(centroids: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
+def _median_split_argsort(cent: np.ndarray, leaf: int = 128) -> np.ndarray:
+    """Order triangles into median-split BVH leaves of ``leaf`` rows.
+
+    Recursive widest-axis median splits, with each split point rounded to
+    a multiple of ``leaf`` so interior leaves stay exactly full — the
+    sparse kernels' fixed-size clusters (kernels/sparse_pallas.py C_TRI)
+    then coincide with real spatial partitions instead of raw morton
+    runs. Measured on the 100k box field: 17-29% fewer per-ray candidate
+    clusters on bounce/NEE wavefronts than morton order (slightly more
+    on primary nearest); see docs/PERFORMANCE.md.
+    """
+    out = []
+    stack = [np.arange(cent.shape[0])]
+    while stack:
+        ids = stack.pop()
+        if len(ids) <= leaf:
+            out.append(ids)
+            continue
+        c = cent[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        srt = ids[np.argsort(c[:, ax], kind="stable")]
+        half = max(leaf, ((len(ids) // 2 + leaf - 1) // leaf) * leaf)
+        if half >= len(ids):
+            half = len(ids) - leaf
+        stack.append(srt[:half])
+        stack.append(srt[half:])
+    return np.concatenate(out)
+
+
 def pack_scene(
     desc: SceneDescription, pad_to: int = 128, dtype=np.float32,
-    morton_order: bool = False,
+    morton_order: bool = False, tri_order: str | None = None,
 ) -> SceneArrays:
     """Pack a parsed SDL scene into padded SoA device arrays.
 
-    ``morton_order=True`` spatially sorts the triangle buffer (fast-mode
-    only: it changes the reference's nearest-hit tie-break order, so leave
-    it off when gating against reference-mode parity).
+    ``tri_order`` spatially sorts the triangle buffer (fast-mode only: it
+    changes the reference's nearest-hit tie-break order, so leave it off
+    when gating against reference-mode parity): "morton" (centroid
+    z-order) or "median" (median-split BVH leaves aligned to the sparse
+    kernels' cluster size). ``morton_order=True`` is the legacy alias for
+    tri_order="morton".
     """
     assert desc.objects, "scene has no objects"
     assert desc.light_mesh is not None, "scene has no light"
@@ -205,8 +237,16 @@ def pack_scene(
     light_tri_rows = n_obj_tris + np.arange(
         lm.num_triangles, dtype=np.int32
     )
-    if morton_order:
-        order = _morton_argsort((tri_v0 + tri_v1 + tri_v2) / 3.0)
+    if tri_order is None and morton_order:
+        tri_order = "morton"
+    if tri_order is not None and tri_order != "none":
+        cent = (tri_v0 + tri_v1 + tri_v2) / 3.0
+        if tri_order == "morton":
+            order = _morton_argsort(cent)
+        elif tri_order == "median":
+            order = _median_split_argsort(cent)
+        else:
+            raise ValueError(f"unknown tri_order {tri_order!r}")
         tri_v0, tri_v1, tri_v2 = tri_v0[order], tri_v1[order], tri_v2[order]
         tri_normal, tri_area = tri_normal[order], tri_area[order]
         tri_material = tri_material[order]

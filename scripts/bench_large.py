@@ -47,6 +47,10 @@ def main() -> None:
         "--configs", default="none:off,sparse:off,sparse:on",
         help="comma list of accel:sort pairs to run",
     )
+    p.add_argument(
+        "--order", default="morton", choices=["morton", "median"],
+        help="triangle buffer spatial ordering (cluster tightness)",
+    )
     args = p.parse_args()
 
     from pathtracerpython_tpu.ops.camera import make_primary_rays
@@ -60,7 +64,7 @@ def main() -> None:
     w = h = args.size
     scene = pack_scene(
         box_field_scene(n_boxes=args.boxes, width=w, height=h),
-        morton_order=True,
+        tri_order=args.order,
     )
     scene = jax.device_put(scene)
     print(f"triangles: {scene.meta.n_triangles} "

@@ -382,3 +382,17 @@ def test_grid_cascade_branches(field_scene, monkeypatch):
                                           two_pass=0, w_per_rb=512)
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_s))
     np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_s))
+
+
+def test_median_order_bitmatch():
+    """tri_order='median' (BVH-leaf clustering) must agree with the
+    dense sweep on the same buffer, sparse vs dense, incl. any-hit."""
+    scene = pack_scene(
+        box_field_scene(n_boxes=80, width=24, height=24), tri_order="median"
+    )
+    o3, d3 = _random_rays(700, seed=41)
+    assert_nearest_matches(scene, o3, d3)
+    maxd = jnp.full((o3.shape[1],), 8.0, jnp.float32)
+    occ_d = any_hit_pallas_cm(o3, d3, maxd, scene)
+    occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, scene)
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
