@@ -42,6 +42,14 @@ from pathtracerpython_tpu.kernels.intersect_pallas import (
 )
 
 
+# Fused-path gate: the kernel unrolls the area-CDF pick (1 op/tri) and
+# the one-hot vertex select (9 ops/tri) per light triangle per sample —
+# linear compile-size growth, so the gate bounds it. 64 keeps grid
+# lights (8x8 quads) on the fused path; beyond it the integrator's
+# unfused composition takes over (tests/test_large_scene.py).
+FUSED_NEE_MAX_LIGHT_TRIS = 64
+
+
 def _nee_body(
     tripack_ref, lp_ref, point_ref, normal_ref, u_ref, valid_ref,
     mc_out, occ_out, sdir_scr, dist_scr, cos_scr,

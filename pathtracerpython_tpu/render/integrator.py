@@ -144,9 +144,13 @@ def shade_nee(
 
     from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
 
+    from pathtracerpython_tpu.kernels.nee_pallas import (
+        FUSED_NEE_MAX_LIGHT_TRIS,
+    )
+
     if (cfg.mode == "fast" and cfg.backend == "pallas"
             and cfg.geom_axis is None
-            and scene.light_v0.shape[0] <= 16
+            and scene.light_v0.shape[0] <= FUSED_NEE_MAX_LIGHT_TRIS
             and cfg.soft_vis_beta == 0.0
             and not use_sparse(cfg.accel, scene.num_padded_triangles)):
         # (sparse-accel scenes skip the fused kernel: its occlusion sweep
