@@ -65,6 +65,12 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--morton", action="store_true",
                    help="spatially sort triangles (tighter kernel-block "
                         "AABBs -> faster large scenes; fast mode only)")
+    p.add_argument("--tri-order", choices=("morton", "median"),
+                   default=None,
+                   help="spatial ordering flavor when sorting is active: "
+                        "morton z-order (default) or median-split BVH "
+                        "leaves (fewer candidate clusters on bounce "
+                        "wavefronts)")
     p.add_argument("--accel", choices=("auto", "sparse", "none"),
                    default="auto",
                    help="acceleration hierarchy: auto engages the cluster-"
@@ -127,7 +133,8 @@ def main(argv=None) -> int:
     )
     if use_morton:
         scene = load_scene(
-            args.scene, pad_to=args.pad_to, morton_order=True
+            args.scene, pad_to=args.pad_to,
+            tri_order=args.tri_order or "morton",
         )
     # SDL-field honoring: explicit CLI flags > SDL values (--honor-sdl) >
     # reference defaults (reference parse sites: scene_reader.py:151-170)

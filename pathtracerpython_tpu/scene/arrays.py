@@ -315,11 +315,12 @@ def pack_scene(
 
 def load_scene(
     path: str, pad_to: int = 128, dtype=np.float32,
-    morton_order: bool = False,
+    morton_order: bool = False, tri_order: str | None = None,
 ) -> SceneArrays:
     """Parse an SDL file and pack it for the device."""
     return pack_scene(
-        load_sdl(path), pad_to=pad_to, dtype=dtype, morton_order=morton_order
+        load_sdl(path), pad_to=pad_to, dtype=dtype,
+        morton_order=morton_order, tri_order=tri_order,
     )
 
 
