@@ -403,6 +403,42 @@ def _soft_hit_and_shade(o3, d3, state, scene, cfg, u_nee):
     return hit1, color3
 
 
+def _fused_bounce_on(scene: SceneArrays, cfg: RenderConfig) -> bool:
+    """Whole-bounce megakernel gate (kernels/bounce_pallas.py)."""
+    if cfg.fused_bounce == "off":
+        return False
+    from pathtracerpython_tpu.kernels.bounce_pallas import (
+        fused_bounce_supported,
+    )
+
+    ok = fused_bounce_supported(scene, cfg)
+    if cfg.fused_bounce == "on":
+        assert ok, (
+            "fused_bounce='on' but the scene/config is outside the fused "
+            "kernel's scope (see kernels.bounce_pallas.fused_bounce_supported)"
+        )
+    return ok
+
+
+def _fused_bounce_step(
+    state: RayState, u_nee, u_scat, scene: SceneArrays, cfg: RenderConfig,
+) -> RayState:
+    from pathtracerpython_tpu.kernels.bounce_pallas import fused_bounce
+
+    f = state.origin3.dtype
+    o3, d3, tp, alive_f, prevspec_f, rad3 = fused_bounce(
+        cfg.n_light_samples, cfg.use_background,
+        state.origin3, state.direction3, state.throughput,
+        state.alive.astype(f), state.prev_specular.astype(f),
+        state.radiance3, u_nee, u_scat, scene,
+    )
+    return RayState(
+        origin3=o3, direction3=d3, throughput=tp, alive=alive_f > 0.5,
+        radiance3=rad3, counters=state.counters,
+        prev_specular=prevspec_f > 0.5,
+    )
+
+
 def bounce_step(
     state: RayState, bounce_idx, scene: SceneArrays, cfg: RenderConfig,
     k0, k1, sort_bounds=None,
@@ -438,6 +474,9 @@ def bounce_step(
     sk0, sk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_SCATTER)
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
+
+    if sort_bounds is None and _fused_bounce_on(scene, cfg):
+        return _fused_bounce_step(state, u_nee, u_scatter, scene, cfg)
 
     if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
         hit, color3 = _soft_hit_and_shade(
