@@ -638,8 +638,14 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 # re-tests everything its lanes could need.
 
 PASS1_K = 4        # pass-1 candidate clusters per block
-GRID_SMALL_DIV = 4  # short-grid cascade: try w_cap/4 steps first
-GRID_CASCADE_MIN = 4096  # don't compile a second variant for tiny grids
+# Short-grid cascade: the sparse grid is STATIC (w_cap steps) while the
+# real item total is data-dependent (~5-8k of 65536 on the measured
+# 100k-box-field wavefronts), so most steps are inactive tail churn.
+# Compile one kernel variant per divisor (+ the full grid) and lax.cond
+# into the shortest grid the real total fits. Each divisor is one more
+# Mosaic compile per (kernel, chunk shape) — keep the list short.
+GRID_DIVS = (8, 2)
+GRID_CASCADE_MIN = 4096  # don't compile extra variants for tiny grids
 M_DIV = 2          # pass-2 wavefront cap = ceil(n / M_DIV)
 TWO_PASS_MIN = 32768  # below this ray count the two launches cannot pay
 
@@ -647,15 +653,27 @@ TWO_PASS_MIN = 32768  # below this ray count the two launches cannot pay
 
 
 def _grid_cascade(launch, ncand, nrb, w_cap):
-    """Pick the short- or full-grid variant of ``launch`` by the real
-    item total. Compiling a second Mosaic variant only pays when the
-    full grid is long (GRID_CASCADE_MIN); below that, one launch."""
-    small_cap = max(nrb, w_cap // GRID_SMALL_DIV)
-    if small_cap >= w_cap or w_cap < GRID_CASCADE_MIN:
+    """Run the shortest compiled grid variant of ``launch`` that covers
+    the real item total (see GRID_DIVS). Variants only pay when the full
+    grid is long (GRID_CASCADE_MIN); below that, one launch."""
+    if w_cap < GRID_CASCADE_MIN:
         return launch(w_cap)(None)
-    return lax.cond(
-        jnp.sum(ncand) <= small_cap, launch(small_cap), launch(w_cap), None
-    )
+    caps = []
+    for div in sorted(GRID_DIVS, reverse=True):
+        c = max(nrb, w_cap // div)
+        if c < w_cap and (not caps or c > caps[-1]):
+            caps.append(c)
+    if not caps:
+        return launch(w_cap)(None)
+    total = jnp.sum(ncand)
+    expr = launch(w_cap)
+    for c in reversed(caps):  # wrap largest-cap first → test smallest first
+        expr = (
+            lambda _, c=c, nxt=expr: lax.cond(
+                total <= c, launch(c), nxt, None
+            )
+        )
+    return expr(None)
 
 
 

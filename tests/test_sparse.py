@@ -357,7 +357,7 @@ def test_two_pass_chunked(field_scene):
 
 def test_grid_cascade_branches(field_scene, monkeypatch):
     """Both short-grid and full-grid cascade variants must produce the
-    dense result; GRID_SMALL_DIV / GRID_CASCADE_MIN are forced so each
+    dense result; GRID_DIVS / GRID_CASCADE_MIN are forced so each
     lax.cond branch runs deterministically regardless of scene data."""
     o3, d3 = _random_rays(700, seed=31)
     t_ref, i_ref = nearest_t_idx_cm(o3, d3, field_scene)
@@ -365,10 +365,10 @@ def test_grid_cascade_branches(field_scene, monkeypatch):
     occ_ref = any_hit_pallas_cm(o3, d3, maxd, field_scene)
 
     monkeypatch.setattr(sp, "GRID_CASCADE_MIN", 1)
-    for div in (10**6, 1):
-        # div=1e6 -> small_cap = nrb (totals always exceed it: FULL grid)
-        # div=1   -> small_cap = w_cap (cascade statically disabled)
-        monkeypatch.setattr(sp, "GRID_SMALL_DIV", div)
+    for divs in ((10**6,), (1,)):
+        # (1e6,) -> cap = nrb (totals always exceed it: FULL grid)
+        # (1,)   -> cap = w_cap (cascade statically disabled)
+        monkeypatch.setattr(sp, "GRID_DIVS", divs)
         t_s, i_s = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
                                               two_pass=0)
         np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_s))
@@ -376,8 +376,8 @@ def test_grid_cascade_branches(field_scene, monkeypatch):
         occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0)
         np.testing.assert_array_equal(np.asarray(occ_ref), np.asarray(occ_s))
 
-    # div=2 with a huge per-block budget -> totals fit: SHORT grid runs
-    monkeypatch.setattr(sp, "GRID_SMALL_DIV", 2)
+    # multi-level with a huge per-block budget -> totals fit: SHORT grids
+    monkeypatch.setattr(sp, "GRID_DIVS", (8, 2))
     t_s, i_s = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
                                           two_pass=0, w_per_rb=512)
     np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_s))
