@@ -169,33 +169,10 @@ def cluster_aabbs(tripack: jax.Array, c_tri: int) -> jax.Array:
     )
 
 
-def candidate_worklist(
-    aabb8: jax.Array, o3p: jax.Array, d3p: jax.Array, tmax_rb: jax.Array,
-    *, r_blk: int, maxc: int, w_cap: int, trunc_k: int | None = None,
-):
-    """Conservative per-ray-block candidate clusters, front-to-back.
-
-    The slab test runs on the interval family {origin ∈ block origin box,
-    direction ∈ block direction box}: with per-axis numerator interval
-    [blo - ohi, bhi - olo] and inverse-direction interval endpoints, the
-    4 endpoint products bound every ray's slab crossing times, so
-    ``enter_lo = max_k lo_k > exit_hi = min_k hi_k`` proves NO ray in the
-    block hits the cluster (safe to cull). An axis whose direction
-    interval straddles zero gives no constraint — which is why the
-    integrator sorts rays into direction-coherent blocks first.
-
-    Returns (packed work list i32[w_cap], ncand i32[nrb], overflow bool,
-    next_entry f32[nrb]); ``overflow`` true means the caller must use the
-    exact fallback.
-
-    ``trunc_k`` enables the two-pass protocol: keep only the first
-    ``trunc_k`` front-to-back candidates per block — NOT an overflow
-    event (the caller resolves unfinished lanes in a second pass) —
-    and report ``next_entry``, the conservative entry bound of the first
-    candidate DROPPED per block (BIG when nothing was dropped). Any
-    unseen cluster's per-ray entry is >= this bound, so a lane whose
-    best-so-far beats it is provably final.
-    """
+def _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk):
+    """Interval slab test of every ray block's (origin box × direction
+    box) family against every cluster AABB. Returns (enter [nrb, c]
+    conservative entry bound, hit [nrb, c] candidate mask)."""
     c = aabb8.shape[0]
     nrb = o3p.shape[1] // r_blk
     o = o3p.reshape(3, nrb, r_blk)
@@ -233,6 +210,39 @@ def candidate_worklist(
         & (exit_ >= -SLAB_EPS)
         & (enter <= tmax_rb[:, None] + SLAB_EPS)
     )
+    return enter, hit
+
+
+def candidate_worklist(
+    aabb8: jax.Array, o3p: jax.Array, d3p: jax.Array, tmax_rb: jax.Array,
+    *, r_blk: int, maxc: int, w_cap: int, trunc_k: int | None = None,
+):
+    """Conservative per-ray-block candidate clusters, front-to-back.
+
+    The slab test runs on the interval family {origin ∈ block origin box,
+    direction ∈ block direction box}: with per-axis numerator interval
+    [blo - ohi, bhi - olo] and inverse-direction interval endpoints, the
+    4 endpoint products bound every ray's slab crossing times, so
+    ``enter_lo = max_k lo_k > exit_hi = min_k hi_k`` proves NO ray in the
+    block hits the cluster (safe to cull). An axis whose direction
+    interval straddles zero gives no constraint — which is why the
+    integrator sorts rays into direction-coherent blocks first.
+
+    Returns (packed work list i32[w_cap], ncand i32[nrb], overflow bool,
+    next_entry f32[nrb]); ``overflow`` true means the caller must use the
+    exact fallback.
+
+    ``trunc_k`` enables the two-pass protocol: keep only the first
+    ``trunc_k`` front-to-back candidates per block — NOT an overflow
+    event (the caller resolves unfinished lanes in a second pass) —
+    and report ``next_entry``, the conservative entry bound of the first
+    candidate DROPPED per block (BIG when nothing was dropped). Any
+    unseen cluster's per-ray entry is >= this bound, so a lane whose
+    best-so-far beats it is provably final.
+    """
+    enter, hit = _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk)
+    c = aabb8.shape[0]
+    nrb = hit.shape[0]
 
     # front-to-back compaction: top_k of negative entry bound = the maxc
     # nearest candidate clusters per block, already sorted by entry
@@ -530,6 +540,246 @@ def _check_limits(nrb: int, n_clusters: int) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Grouped work items: G candidate clusters per grid step. The sparse
+# kernels are per-item-overhead-bound (docs/PERFORMANCE.md "Large
+# scenes": exact per-ray work is ~8-25x less than executed), so folding
+# G consecutive front-to-back candidates of a block into ONE grid step
+# amortizes the per-step cost (grid sequencing, predication, DMA
+# bookkeeping) over G Möller–Trumbore tiles. The tiles run unconditionally
+# under a single union `@pl.when` — per-tile predication is the measured
+# sub-tiling negative. Tie-break and early termination are unchanged:
+# tiles merge sequentially with the order-independent lexicographic
+# (t, index) minimum, and the union `needed` test still uses front-to-
+# back entry bounds, so termination coarsens from per-cluster to
+# per-group only. `group=1` keeps the original kernels.
+
+GROUP = 1  # default work-item group size (bench knob; >1 = grouped path)
+
+_VAL_BIT = _CL_BITS  # grouped follower words: [valid 1][cl 12]
+
+
+def grouped_worklist(
+    aabb8, o3p, d3p, tmax_rb, *, r_blk: int, maxc: int, w_cap: int,
+    group: int,
+):
+    """Candidate work list in G-cluster groups.
+
+    Returns (packed list[i32[w_cap]] of length ``group``, ncand, overflow).
+    Word 0 carries [seg][active][rb][cl0] (slot-0 cluster of a group is
+    always valid); follower word k carries [valid][cl_k]. ``w_cap`` is in
+    GROUPS (each SMEM operand is w_cap words)."""
+    enter, hit = _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk)
+    c = aabb8.shape[0]
+    nrb = hit.shape[0]
+    mc = min(maxc, c)
+    key = jnp.where(hit, jnp.maximum(enter, 0.0), BIG)
+    _, idxs = lax.top_k(-key, mc)                       # [nrb, mc]
+    ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
+    ncand = jnp.minimum(ncand_full, mc)
+
+    g = group
+    mc_g = -(-mc // g)
+    # pad the column axis so column k::g exists for every k; repeats of
+    # the last column keep follower DMAs on an already-fetched block
+    pad_cols = mc_g * g - mc
+    if pad_cols:
+        idxs = jnp.concatenate(
+            [idxs] + [idxs[:, -1:]] * pad_cols, axis=1
+        )
+    ng = -(-ncand // g)                                  # groups per block
+    offsets = jnp.cumsum(ng) - ng
+    total = jnp.sum(ng)
+    slot = jnp.arange(mc_g, dtype=jnp.int32)[None, :]    # [1, mc_g]
+    in_list = slot < ng[:, None]
+    pos = jnp.where(in_list, offsets[:, None] + slot, w_cap)
+    rb_ids = jnp.broadcast_to(
+        jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
+    )
+
+    packed = []
+    iw = jnp.arange(w_cap, dtype=jnp.int32)
+    last = jnp.maximum(total - 1, 0)
+    for k in range(g):
+        cols = idxs[:, k::g].astype(jnp.int32)           # [nrb, mc_g]
+        if k == 0:
+            word = (
+                cols
+                | (rb_ids << _CL_BITS)
+                | (1 << _ACT_BIT)
+                | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
+            )
+            clear = ~((1 << _ACT_BIT) | (1 << _SEG_BIT))
+        else:
+            valid_k = (slot * g + k) < ncand[:, None]
+            word = cols | jnp.where(valid_k, 1 << _VAL_BIT, 0)
+            clear = ~(1 << _VAL_BIT)
+        pk = jnp.zeros(w_cap, jnp.int32).at[pos.ravel()].set(
+            word.ravel(), mode="drop"
+        )
+        tail = pk[last] & clear
+        packed.append(jnp.where(iw < total, pk, tail))
+
+    overflow = jnp.any(ncand_full > mc) | (total > w_cap)
+    return packed, ncand, overflow
+
+
+def _decode_follower(word):
+    cl = word & ((1 << _CL_BITS) - 1)
+    valid = (word >> _VAL_BIT) & 1
+    return cl, valid
+
+
+def _grouped_grid_spec(
+    w_cap, c_tri, r_blk, group, *, n_outs, n_extra_ray_ins=0,
+):
+    def cl_of(p, w):
+        return p[w] & ((1 << _CL_BITS) - 1)
+
+    def rb_of(p, w):
+        return (p[w] >> _CL_BITS) & ((1 << _RB_BITS) - 1)
+
+    tri_specs = [
+        pl.BlockSpec(
+            (c_tri, 12),
+            (lambda k: lambda w, *ps: (cl_of(ps[k], w), 0))(k),
+            memory_space=pltpu.VMEM,
+        )
+        for k in range(group)
+    ]
+    aabb_specs = [
+        pl.BlockSpec(
+            (1, 1, 8),
+            (lambda k: lambda w, *ps: (cl_of(ps[k], w), 0, 0))(k),
+            memory_space=pltpu.SMEM,
+        )
+        for k in range(group)
+    ]
+    ray_spec = pl.BlockSpec(
+        (3, r_blk), lambda w, *ps: (0, rb_of(ps[0], w)),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, r_blk), lambda w, *ps: (0, rb_of(ps[0], w)),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = tri_specs + aabb_specs + [ray_spec, ray_spec]
+    in_specs += [row_spec] * n_extra_ray_ins
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=group,
+        grid=(w_cap,),
+        in_specs=in_specs,
+        out_specs=[row_spec] * n_outs,
+    )
+
+
+def _make_grouped_nearest_kernel(group: int, c_tri: int):
+    def kernel(*refs):
+        prefs = refs[:group]
+        tris = refs[group:2 * group]
+        aabbs = refs[2 * group:3 * group]
+        o_ref, d_ref, t_out, idx_out = refs[3 * group:]
+        w = pl.program_id(0)
+        _, _, active, seg = _decode(prefs[0][w])
+
+        @pl.when(seg == 1)
+        def _():
+            t_out[:] = jnp.full_like(t_out, BIG)
+            idx_out[:] = jnp.full_like(idx_out, -1)
+
+        @pl.when(active == 1)
+        def _():
+            o_rows = _ray_rows(o_ref)
+            inv_rows = _inv_rows(_ray_rows(d_ref))
+            cls, vals, needed = [], [], None
+            for k in range(group):
+                if k == 0:
+                    cl_k, _, _, _ = _decode(prefs[0][w])
+                    v_k = jnp.int32(1)
+                else:
+                    cl_k, v_k = _decode_follower(prefs[k][w])
+                hit_k, enter_k = _slab_rows_inv(
+                    [aabbs[k][0, 0, j] for j in range(6)], o_rows, inv_rows
+                )
+                need_k = (
+                    (v_k == 1) & hit_k & (enter_k < t_out[:] + SLAB_EPS)
+                )
+                needed = need_k if needed is None else needed | need_k
+                cls.append(cl_k)
+                vals.append(v_k)
+
+            @pl.when(jnp.any(needed))
+            def _():
+                for k in range(group):
+                    hit, t = _mt_block(tris[k], o_ref, d_ref)
+                    hit = hit & (vals[k] == 1)
+                    key = jnp.where(hit, t, BIG)
+                    tile_min = jnp.min(key, axis=0, keepdims=True)
+                    gidx = (
+                        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+                        + cls[k] * c_tri
+                    )
+                    cand = jnp.where((key == tile_min) & hit, gidx, IMAX)
+                    tile_idx = jnp.min(cand, axis=0, keepdims=True)
+                    better = (tile_idx != IMAX) & (
+                        (tile_min < t_out[:])
+                        | ((tile_min == t_out[:]) & (tile_idx < idx_out[:]))
+                    )
+                    t_out[:] = jnp.where(better, tile_min, t_out[:])
+                    idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+
+    return kernel
+
+
+def _make_grouped_any_hit_kernel(group: int, c_tri: int):
+    def kernel(*refs):
+        prefs = refs[:group]
+        tris = refs[group:2 * group]
+        aabbs = refs[2 * group:3 * group]
+        o_ref, d_ref, maxd_ref, occ_out = refs[3 * group:]
+        w = pl.program_id(0)
+        _, _, active, seg = _decode(prefs[0][w])
+
+        @pl.when(seg == 1)
+        def _():
+            occ_out[:] = jnp.zeros_like(occ_out)
+
+        @pl.when(active == 1)
+        def _():
+            o_rows = _ray_rows(o_ref)
+            inv_rows = _inv_rows(_ray_rows(d_ref))
+            vals, needed = [], None
+            for k in range(group):
+                if k == 0:
+                    v_k = jnp.int32(1)
+                else:
+                    _, v_k = _decode_follower(prefs[k][w])
+                hit_k, enter_k = _slab_rows_inv(
+                    [aabbs[k][0, 0, j] for j in range(6)], o_rows, inv_rows
+                )
+                need_k = (
+                    (v_k == 1) & hit_k
+                    & (enter_k < maxd_ref[:] + SLAB_EPS)
+                )
+                needed = need_k if needed is None else needed | need_k
+                vals.append(v_k)
+            needed = needed & (occ_out[:] < 0.5)
+
+            @pl.when(jnp.any(needed))
+            def _():
+                for k in range(group):
+                    hit, t = _mt_block(tris[k], o_ref, d_ref)
+                    hit = hit & (vals[k] == 1)
+                    occluder = tris[k][:, 10:11] > 0.5
+                    blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
+                    any_block = jnp.max(
+                        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+                    )
+                    occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # Exact XLA fallback sweeps (fast to compile at any scene size; used when
 # the candidate list overflows its caps). Rays are chunked with an outer
 # scan: even a never-taken lax.cond branch is allocated statically, so the
@@ -679,44 +929,80 @@ def _grid_cascade(launch, ncand, nrb, w_cap):
 
 def _nearest_chunk(o3, d3, tripack, statics):
     """One-chunk sparse nearest. statics = (c_tri, r_blk, maxc,
-    w_per_rb, trunc_k). Returns (t [n] — BIG on miss, idx [n] — -1,
-    next_entry [n] — per-lane conservative bound of the first candidate
-    the truncated list dropped; BIG when the list was complete)."""
-    c_tri, r_blk, maxc, w_per_rb, trunc_k = statics
+    w_per_rb, group, trunc_k). Returns (t [n] — BIG on miss, idx [n] —
+    -1, next_entry [n] — per-lane conservative bound of the first
+    candidate the truncated list dropped; BIG when the list was
+    complete)."""
+    c_tri, r_blk, maxc, w_per_rb, group, trunc_k = statics
     sg = lax.stop_gradient
     o3s, d3s, tps = sg(o3), sg(d3), sg(tripack)
     n = o3.shape[1]
     nrb = n // r_blk
     n_clusters = tps.shape[0] // c_tri
     _check_limits(nrb, n_clusters)
-    w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
     aabb8 = cluster_aabbs(tps, c_tri)
     subs = (cluster_sub_aabbs(tps, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
-    packed, ncand, overflow, next_entry = candidate_worklist(
-        aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
-        trunc_k=trunc_k or None,
-    )
+    use_group = group > 1 and not trunc_k
+    if use_group:
+        w_cap = min(
+            nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
+        )
+        packs, ncand, overflow = grouped_worklist(
+            aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+            group=group,
+        )
+        next_entry = jnp.full((nrb,), BIG, o3.dtype)
+        cascade_counts = -(-ncand // group)
+    else:
+        w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
+        packed, ncand, overflow, next_entry = candidate_worklist(
+            aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+            trunc_k=trunc_k or None,
+        )
+        cascade_counts = ncand
 
     def launch(cap):
         # the grid iterates cap STATIC steps even when most items are
         # inactive padding; a short-grid variant runs whenever the real
         # item total fits, so tail churn scales with actual work
         def go(_):
-            t_out, idx_out = pl.pallas_call(
-                _sparse_nearest_kernel,
-                grid_spec=_sparse_grid_spec(cap, c_tri, r_blk, n_outs=2),
-                out_shape=[
-                    jax.ShapeDtypeStruct((1, n), o3.dtype),
-                    jax.ShapeDtypeStruct((1, n), jnp.int32),
-                ],
-                cost_estimate=pl.CostEstimate(
-                    flops=90 * cap * c_tri * r_blk,
-                    bytes_accessed=(n * 6 + cap * c_tri * 12) * 4,
-                    transcendentals=0,
-                ),
-                interpret=_interpret(),
-            )(packed[:cap], tps, aabb8[:, None, :], *subs, o3s, d3s)
+            if use_group:
+                t_out, idx_out = pl.pallas_call(
+                    _make_grouped_nearest_kernel(group, c_tri),
+                    grid_spec=_grouped_grid_spec(
+                        cap, c_tri, r_blk, group, n_outs=2,
+                    ),
+                    out_shape=[
+                        jax.ShapeDtypeStruct((1, n), o3.dtype),
+                        jax.ShapeDtypeStruct((1, n), jnp.int32),
+                    ],
+                    cost_estimate=pl.CostEstimate(
+                        flops=90 * cap * group * c_tri * r_blk,
+                        bytes_accessed=(
+                            n * 6 + cap * group * c_tri * 12
+                        ) * 4,
+                        transcendentals=0,
+                    ),
+                    interpret=_interpret(),
+                )(*[p[:cap] for p in packs],
+                  *([tps] * group), *([aabb8[:, None, :]] * group),
+                  o3s, d3s)
+            else:
+                t_out, idx_out = pl.pallas_call(
+                    _sparse_nearest_kernel,
+                    grid_spec=_sparse_grid_spec(cap, c_tri, r_blk, n_outs=2),
+                    out_shape=[
+                        jax.ShapeDtypeStruct((1, n), o3.dtype),
+                        jax.ShapeDtypeStruct((1, n), jnp.int32),
+                    ],
+                    cost_estimate=pl.CostEstimate(
+                        flops=90 * cap * c_tri * r_blk,
+                        bytes_accessed=(n * 6 + cap * c_tri * 12) * 4,
+                        transcendentals=0,
+                    ),
+                    interpret=_interpret(),
+                )(packed[:cap], tps, aabb8[:, None, :], *subs, o3s, d3s)
             visited = _visited_mask(ncand, r_blk, n)
             return (
                 jnp.where(visited, t_out[0], BIG),
@@ -725,7 +1011,7 @@ def _nearest_chunk(o3, d3, tripack, statics):
         return go
 
     def sparse_branch(_):
-        return _grid_cascade(launch, ncand, nrb, w_cap)
+        return _grid_cascade(launch, cascade_counts, nrb, w_cap)
 
     def fallback_branch(_):
         # exact full sweep: every lane is final regardless of trunc_k
@@ -740,43 +1026,76 @@ def _nearest_chunk(o3, d3, tripack, statics):
 def _any_hit_chunk(o3, d3, maxd, tripack, statics):
     """One-chunk sparse shadow occlusion (fully detached — binary).
     Returns (occ bool [n], next_entry [n] per-lane)."""
-    c_tri, r_blk, maxc, w_per_rb, trunc_k = statics
+    c_tri, r_blk, maxc, w_per_rb, group, trunc_k = statics
     n = o3.shape[1]
     nrb = n // r_blk
     n_clusters = tripack.shape[0] // c_tri
     _check_limits(nrb, n_clusters)
-    w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
     aabb8 = cluster_aabbs(tripack, c_tri)
     subs = (cluster_sub_aabbs(tripack, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
-    packed, ncand, overflow, next_entry = candidate_worklist(
-        aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
-        trunc_k=trunc_k or None,
-    )
+    use_group = group > 1 and not trunc_k
+    if use_group:
+        w_cap = min(
+            nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
+        )
+        packs, ncand, overflow = grouped_worklist(
+            aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+            group=group,
+        )
+        next_entry = jnp.full((nrb,), BIG, o3.dtype)
+        cascade_counts = -(-ncand // group)
+    else:
+        w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
+        packed, ncand, overflow, next_entry = candidate_worklist(
+            aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+            trunc_k=trunc_k or None,
+        )
+        cascade_counts = ncand
     maxd_row = maxd[None, :]
 
     def launch(cap):
         def go(_):
-            occ = pl.pallas_call(
-                _sparse_any_hit_kernel,
-                grid_spec=_sparse_grid_spec(
-                    cap, c_tri, r_blk, n_outs=1, n_extra_ray_ins=1,
-                ),
-                out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
-                cost_estimate=pl.CostEstimate(
-                    flops=90 * cap * c_tri * r_blk,
-                    bytes_accessed=(n * 7 + cap * c_tri * 12) * 4,
-                    transcendentals=0,
-                ),
-                interpret=_interpret(),
-            )(packed[:cap], tripack, aabb8[:, None, :], *subs, o3, d3,
-              maxd_row)[0]
+            if use_group:
+                occ = pl.pallas_call(
+                    _make_grouped_any_hit_kernel(group, c_tri),
+                    grid_spec=_grouped_grid_spec(
+                        cap, c_tri, r_blk, group, n_outs=1,
+                        n_extra_ray_ins=1,
+                    ),
+                    out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
+                    cost_estimate=pl.CostEstimate(
+                        flops=90 * cap * group * c_tri * r_blk,
+                        bytes_accessed=(
+                            n * 7 + cap * group * c_tri * 12
+                        ) * 4,
+                        transcendentals=0,
+                    ),
+                    interpret=_interpret(),
+                )(*[p[:cap] for p in packs],
+                  *([tripack] * group), *([aabb8[:, None, :]] * group),
+                  o3, d3, maxd_row)[0]
+            else:
+                occ = pl.pallas_call(
+                    _sparse_any_hit_kernel,
+                    grid_spec=_sparse_grid_spec(
+                        cap, c_tri, r_blk, n_outs=1, n_extra_ray_ins=1,
+                    ),
+                    out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
+                    cost_estimate=pl.CostEstimate(
+                        flops=90 * cap * c_tri * r_blk,
+                        bytes_accessed=(n * 7 + cap * c_tri * 12) * 4,
+                        transcendentals=0,
+                    ),
+                    interpret=_interpret(),
+                )(packed[:cap], tripack, aabb8[:, None, :], *subs, o3, d3,
+                  maxd_row)[0]
             visited = _visited_mask(ncand, r_blk, n)
             return jnp.where(visited, occ[0] > 0.5, False)
         return go
 
     def sparse_branch(_):
-        return _grid_cascade(launch, ncand, nrb, w_cap)
+        return _grid_cascade(launch, cascade_counts, nrb, w_cap)
 
     def fallback_branch(_):
         return _xla_any_hit(o3, d3, maxd, tripack)
@@ -942,16 +1261,19 @@ def sparse_nearest_t_idx_cm(
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
     two_pass: int | None = None, m_div: int = M_DIV,
+    group: int | None = None,
 ):
     """Component-major sparse nearest hit. o3/d3_unit f32[3, N] (N
     unpadded, d3_unit normalized). Returns (t [N] — 0 on miss,
     idx [N] — -1 on miss), equal to the dense kernel's result.
 
     ``two_pass``: pass-1 candidate clusters per block (None = auto:
-    PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables)."""
+    PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables).
+    ``group``: candidate clusters per grid step (None = module GROUP)."""
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
-    statics = (c_tri, r_blk, maxc, w_per_rb)
+    statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
+               else group)
     # auto keeps two-pass OFF for nearest: bounce wavefronts originate
     # ON geometry inside many overlapping cluster AABBs (entry 0), so the
     # block-level finality bound marks nearly every lane unfinished and
@@ -971,6 +1293,7 @@ def sparse_any_hit_cm(
     c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
     two_pass: int | None = None, m_div: int = M_DIV,
+    group: int | None = None,
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
     n = o3.shape[1]
@@ -978,7 +1301,8 @@ def sparse_any_hit_cm(
     tripack = sg(_pack_for_sparse(scene, c_tri))
     o3, d3_unit = sg(o3), sg(d3_unit)
     max_dist = sg(max_dist)
-    statics = (c_tri, r_blk, maxc, w_per_rb)
+    statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
+               else group)
     two_k = _resolve_two_pass(two_pass, n, default_on=True)
 
     def run(o, d, md, trunc_k):

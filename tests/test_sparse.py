@@ -396,3 +396,44 @@ def test_median_order_bitmatch():
     occ_d = any_hit_pallas_cm(o3, d3, maxd, scene)
     occ_s = sp.sparse_any_hit_cm(o3, d3, maxd, scene)
     np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
+
+
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_items_bitmatch(field_scene, group):
+    """G-cluster work items must reproduce the single-item sweep exactly
+    (same candidates, same lexicographic merge), for both sweeps, on
+    coherent and incoherent wavefronts."""
+    for seed in (0, 3):
+        o3, d3 = _random_rays(700, seed=seed)
+        assert_nearest_matches(field_scene, o3, d3, two_pass=0, group=group)
+        maxd = jnp.full((o3.shape[1],), 6.0, jnp.float32)
+        occ_d = any_hit_pallas_cm(o3, d3, maxd, field_scene)
+        occ_s = sp.sparse_any_hit_cm(
+            o3, d3, maxd, field_scene, two_pass=0, group=group
+        )
+        np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
+    o3, d3 = _primary(field_scene)
+    assert_nearest_matches(field_scene, o3, d3, two_pass=0, group=group)
+
+
+def test_grouped_with_two_pass_any_hit(field_scene):
+    """Two-pass compaction composes with grouping: the truncated pass 1
+    stays single-item, pass 2 regroups; result unchanged."""
+    o3, d3 = _random_rays(700, seed=9)
+    maxd = jnp.full((o3.shape[1],), 6.0, jnp.float32)
+    occ_d = any_hit_pallas_cm(o3, d3, maxd, field_scene)
+    occ_s = sp.sparse_any_hit_cm(
+        o3, d3, maxd, field_scene, two_pass=2, group=2
+    )
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_s))
+
+
+def test_grouped_starved_worklist_falls_back(field_scene):
+    """Group-unit overflow must take the exact dense fallback."""
+    o3, d3 = _random_rays(700, seed=5)
+    t_d, i_d = nearest_t_idx_cm(o3, d3, field_scene)
+    t_s, i_s = sp.sparse_nearest_t_idx_cm(
+        o3, d3, field_scene, two_pass=0, group=2, w_per_rb=2
+    )
+    np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_s))
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_s))
