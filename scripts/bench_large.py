@@ -51,7 +51,30 @@ def main() -> None:
         "--order", default="morton", choices=["morton", "median"],
         help="triangle buffer spatial ordering (cluster tightness)",
     )
+    p.add_argument(
+        "--group", type=int, default=1,
+        help="candidate clusters per sparse grid step (sparse_pallas.GROUP)",
+    )
+    p.add_argument(
+        "--two-pass", type=int, default=None,
+        help="force two_pass trunc_k (default: module auto)",
+    )
+    p.add_argument(
+        "--platform", default=None,
+        help="jax platform override (e.g. cpu — the axon sitecustomize "
+        "pins the tunneled TPU, which hangs when the tunnel is down)",
+    )
     args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from pathtracerpython_tpu.kernels import sparse_pallas as sp
+
+    sp.GROUP = args.group
+    if args.two_pass is not None:
+        sp.PASS1_K = args.two_pass
+        if args.two_pass == 0:
+            sp.TWO_PASS_MIN = 2**62  # auto never engages
 
     from pathtracerpython_tpu.ops.camera import make_primary_rays
     from pathtracerpython_tpu.render.config import RenderConfig
