@@ -78,6 +78,10 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")
+    p.add_argument("--fused-bounce", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="whole-bounce megakernel for VMEM-resident scenes "
+                        "(fast+pallas path; equivalent estimator)")
     p.add_argument("--platform", choices=("default", "cpu", "tpu"),
                    default="default",
                    help="force a jax platform (the environment may pin one "
@@ -157,6 +161,7 @@ def main(argv=None) -> int:
         use_background=args.honor_sdl,
         accel=args.accel,
         sort_rays=args.sort_rays,
+        fused_bounce=args.fused_bounce,
     )
     log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
         f"{scene.meta.width}x{scene.meta.height})")
