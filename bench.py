@@ -71,11 +71,15 @@ def main() -> None:
     bounces = 4
     nee = 3  # reference default n_light_samples (main.py:23)
 
+    # optional A/B knob (the driver runs bench.py with no args): compare
+    # the fused whole-bounce megakernel against the composed kernels
+    fused = "off" if "--fused-bounce=off" in sys.argv else "auto"
+
     scene = load_scene("/root/reference/objs/cornellroom.sdl", pad_to=32)
     scene = jax.device_put(scene)
     cfg = RenderConfig(
         mode="fast", n_samples=spp, n_bounces=bounces, n_light_samples=nee,
-        backend="pallas" if on_tpu else "xla",
+        backend="pallas" if on_tpu else "xla", fused_bounce=fused,
     )
 
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, width, height)

@@ -1,0 +1,108 @@
+"""Round-2 TPU bench queue: run every pending measurement the moment the
+axon tunnel is alive, guarding each step with a trivial-jit poll (worker
+crashes can wedge the tunnel — see docs/PERFORMANCE.md).
+
+Every bench runs as a SUBPROCESS under ``timeout`` so a hung backend
+can't wedge this driver; stdout JSON lines are appended to
+``BENCHLOG_r2.jsonl`` tagged with the step name.
+
+Usage: python scripts/tpu_bench_queue.py [--log PATH] [--steps a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+POLL_CMD = [
+    sys.executable, "-c",
+    "import jax; jax.jit(lambda x: x + 1)(1.0).block_until_ready(); "
+    "print(jax.default_backend())",
+]
+
+BL = os.path.join(REPO, "scripts", "bench_large.py")
+
+# (name, argv, timeout_s) — ordered by value; later steps are tuning.
+STEPS = [
+    ("cornell_fused", [sys.executable, os.path.join(REPO, "bench.py")], 900),
+    ("cornell_unfused",
+     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off"],
+     900),
+    ("large_sparse_cascade",
+     [sys.executable, BL, "--configs", "sparse:on"], 2400),
+    ("large_group2",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
+    ("large_group4",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4"], 2400),
+    ("large_median",
+     [sys.executable, BL, "--configs", "sparse:on", "--order", "median"],
+     2400),
+    ("large_median_group2",
+     [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
+      "--group", "2"], 2400),
+    ("large_twopass4",
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "4"],
+     2400),
+    ("large_dense_baseline",
+     [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
+]
+
+
+def log_line(log_path: str, obj: dict) -> None:
+    obj["ts"] = datetime.datetime.utcnow().isoformat(timespec="seconds")
+    with open(log_path, "a") as f:
+        f.write(json.dumps(obj) + "\n")
+    print(json.dumps(obj), flush=True)
+
+
+def poll(timeout_s: int = 120) -> bool:
+    try:
+        r = subprocess.run(
+            POLL_CMD, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False
+    return r.returncode == 0 and "tpu" in r.stdout
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r2.jsonl"))
+    p.add_argument("--steps", default=None,
+                   help="comma list of step names (default: all)")
+    args = p.parse_args()
+    wanted = set(args.steps.split(",")) if args.steps else None
+
+    for name, argv, tmo in STEPS:
+        if wanted and name not in wanted:
+            continue
+        if not poll():
+            log_line(args.log, {"bench": name, "error": "tpu down, abort"})
+            return
+        try:
+            r = subprocess.run(
+                argv, capture_output=True, text=True, timeout=tmo, cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            log_line(args.log, {"bench": name, "error": f"timeout {tmo}s"})
+            continue
+        for line in r.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                log_line(args.log, {"bench": name, **json.loads(line)})
+        if r.returncode != 0:
+            log_line(args.log, {
+                "bench": name, "error": f"rc={r.returncode}",
+                "stderr_tail": r.stderr[-500:],
+            })
+    log_line(args.log, {"bench": "queue", "done": True})
+
+
+if __name__ == "__main__":
+    main()
