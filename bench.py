@@ -113,6 +113,7 @@ def main() -> None:
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / target, 4),
+        "platform": jax.default_backend(),
     }))
 
 

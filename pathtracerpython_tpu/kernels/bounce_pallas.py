@@ -85,6 +85,9 @@ def fused_bounce_supported(scene, cfg) -> bool:
         and cfg.backend == "pallas"
         and cfg.geom_axis is None
         and cfg.soft_vis_beta == 0.0
+        and cfg.sort_rays != "on"  # sorting parks dead lanes in separate
+        #  sweep arrays the fused kernel does not consume (and only pays
+        #  on the sparse path, which is excluded below anyway)
         and not use_sparse(cfg.accel, scene.num_padded_triangles)
         and scene.num_padded_triangles <= FUSED_BOUNCE_MAX_TRIS
         and scene.light_v0.shape[0] <= FUSED_NEE_MAX_LIGHT_TRIS

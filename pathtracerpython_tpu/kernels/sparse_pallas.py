@@ -213,6 +213,31 @@ def _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk):
     return enter, hit
 
 
+def _list_positions(counts, max_slots: int, w_cap: int):
+    """Work-list slot of entry ``s`` of block ``b`` (s < counts[b]);
+    out-of-list slots get the ``w_cap`` drop sentinel. Returns
+    (pos i32[nrb, max_slots], total)."""
+    offsets = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+    slot = jnp.arange(max_slots, dtype=jnp.int32)[None, :]
+    in_list = slot < counts[:, None]
+    pos = jnp.where(in_list, offsets[:, None] + slot, w_cap)
+    return pos, total
+
+
+def _scatter_packed(word, pos, total, w_cap: int, clear: int):
+    """Scatter per-slot words into the flat work list and pad the tail
+    with repeats of the last real word (same block indices -> no extra
+    DMAs) with the ``clear`` bits masked off."""
+    packed = jnp.zeros(w_cap, jnp.int32).at[pos.ravel()].set(
+        word.ravel(), mode="drop"
+    )
+    iw = jnp.arange(w_cap, dtype=jnp.int32)
+    last = jnp.maximum(total - 1, 0)
+    tail_word = packed[last] & ~clear
+    return jnp.where(iw < total, packed, tail_word)
+
+
 def candidate_worklist(
     aabb8: jax.Array, o3p: jax.Array, d3p: jax.Array, tmax_rb: jax.Array,
     *, r_blk: int, maxc: int, w_cap: int, trunc_k: int | None = None,
@@ -260,30 +285,20 @@ def candidate_worklist(
     ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
     ncand = jnp.minimum(ncand_full, mc)
 
-    offsets = jnp.cumsum(ncand) - ncand
-    total = jnp.sum(ncand)
-    slot = jnp.arange(mc, dtype=jnp.int32)[None, :]
-    in_list = slot < ncand[:, None]
-    pos = jnp.where(in_list, offsets[:, None] + slot, w_cap)  # drop sentinel
+    pos, total = _list_positions(ncand, mc, w_cap)
     rb_ids = jnp.broadcast_to(
         jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
     )
+    slot = jnp.arange(mc, dtype=jnp.int32)[None, :]
     word = (
         idxs.astype(jnp.int32)
         | (rb_ids << _CL_BITS)
         | (1 << _ACT_BIT)
         | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
     )
-    packed = jnp.zeros(w_cap, jnp.int32).at[pos.ravel()].set(
-        word.ravel(), mode="drop"
+    packed = _scatter_packed(
+        word, pos, total, w_cap, clear=(1 << _ACT_BIT) | (1 << _SEG_BIT)
     )
-
-    # pad the tail with repeats of the last real pair (same block indices
-    # -> no extra DMAs), active and seg bits cleared
-    iw = jnp.arange(w_cap, dtype=jnp.int32)
-    last = jnp.maximum(total - 1, 0)
-    tail_word = packed[last] & ~((1 << _ACT_BIT) | (1 << _SEG_BIT))
-    packed = jnp.where(iw < total, packed, tail_word)
 
     if trunc_k is not None:
         overflow = total > w_cap  # truncation is NOT overflow
@@ -579,26 +594,20 @@ def grouped_worklist(
 
     g = group
     mc_g = -(-mc // g)
-    # pad the column axis so column k::g exists for every k; repeats of
-    # the last column keep follower DMAs on an already-fetched block
+    # pad the column axis so column k::g exists for every k
     pad_cols = mc_g * g - mc
     if pad_cols:
         idxs = jnp.concatenate(
             [idxs] + [idxs[:, -1:]] * pad_cols, axis=1
         )
     ng = -(-ncand // g)                                  # groups per block
-    offsets = jnp.cumsum(ng) - ng
-    total = jnp.sum(ng)
-    slot = jnp.arange(mc_g, dtype=jnp.int32)[None, :]    # [1, mc_g]
-    in_list = slot < ng[:, None]
-    pos = jnp.where(in_list, offsets[:, None] + slot, w_cap)
+    pos, total = _list_positions(ng, mc_g, w_cap)
     rb_ids = jnp.broadcast_to(
         jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
     )
+    slot = jnp.arange(mc_g, dtype=jnp.int32)[None, :]    # [1, mc_g]
 
     packed = []
-    iw = jnp.arange(w_cap, dtype=jnp.int32)
-    last = jnp.maximum(total - 1, 0)
     for k in range(g):
         cols = idxs[:, k::g].astype(jnp.int32)           # [nrb, mc_g]
         if k == 0:
@@ -608,16 +617,23 @@ def grouped_worklist(
                 | (1 << _ACT_BIT)
                 | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
             )
-            clear = ~((1 << _ACT_BIT) | (1 << _SEG_BIT))
+            clear = (1 << _ACT_BIT) | (1 << _SEG_BIT)
         else:
             valid_k = (slot * g + k) < ncand[:, None]
-            word = cols | jnp.where(valid_k, 1 << _VAL_BIT, 0)
-            clear = ~(1 << _VAL_BIT)
-        pk = jnp.zeros(w_cap, jnp.int32).at[pos.ravel()].set(
-            word.ravel(), mode="drop"
-        )
-        tail = pk[last] & clear
-        packed.append(jnp.where(iw < total, pk, tail))
+            # invalid followers (a block's partial last group) carry the
+            # PREVIOUS group's k-th cluster, so this operand's block
+            # index is unchanged from the preceding grid step and Mosaic
+            # skips the DMA; top_k's arbitrary non-candidate ids would
+            # fetch an unrelated cluster tile for nothing. A slot-0
+            # partial group (ncand <= k) falls back to the group's own
+            # first cluster (deterministic, spatially near).
+            prev = jnp.concatenate(
+                [idxs[:, 0:1].astype(jnp.int32), cols[:, :-1]], axis=1
+            )
+            filled = jnp.where(valid_k, cols, prev)
+            word = filled | jnp.where(valid_k, 1 << _VAL_BIT, 0)
+            clear = 1 << _VAL_BIT
+        packed.append(_scatter_packed(word, pos, total, w_cap, clear=clear))
 
     overflow = jnp.any(ncand_full > mc) | (total > w_cap)
     return packed, ncand, overflow

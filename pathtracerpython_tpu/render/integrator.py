@@ -475,7 +475,10 @@ def bounce_step(
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
 
-    if sort_bounds is None and _fused_bounce_on(scene, cfg):
+    # (fused_bounce_supported excludes every sorting config, so
+    # sort_bounds is None whenever the gate passes — the extra check is
+    # belt-and-suspenders for future sort modes)
+    if _fused_bounce_on(scene, cfg) and sort_bounds is None:
         return _fused_bounce_step(state, u_nee, u_scatter, scene, cfg)
 
     if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":

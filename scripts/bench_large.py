@@ -133,6 +133,7 @@ def main() -> None:
             base = rays_per_s if accel == "none" else None
         print(json.dumps({
             "config": pair,
+            "platform": jax.default_backend(),
             "rays_per_s": round(rays_per_s, 1),
             "ms_per_render": round(per_render * 1e3, 2),
             "compile_s": round(compile_s, 1),

@@ -46,8 +46,9 @@ STEPS = [
     ("large_median_group2",
      [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
       "--group", "2"], 2400),
-    ("large_twopass4",
-     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "4"],
+    ("large_twopass_off",  # any-hit two-pass auto-engages at PASS1_K=4;
+     #  the informative A/B is OFF (re-measure the cascade without it)
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "0"],
      2400),
     ("large_dense_baseline",
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
@@ -94,8 +95,16 @@ def main() -> None:
             continue
         for line in r.stdout.splitlines():
             line = line.strip()
-            if line.startswith("{"):
-                log_line(args.log, {"bench": name, **json.loads(line)})
+            if not line.startswith("{"):
+                continue
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                log_line(args.log, {"bench": name, "unparsed": line[:200]})
+                continue
+            if obj.get("platform") not in (None, "tpu"):
+                obj["error"] = "NOT ON TPU (tunnel fell back mid-queue)"
+            log_line(args.log, {"bench": name, **obj})
         if r.returncode != 0:
             log_line(args.log, {
                 "bench": name, "error": f"rc={r.returncode}",

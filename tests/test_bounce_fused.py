@@ -84,8 +84,15 @@ def test_gate_excludes_unsupported_configs(cornell_scene):
         RenderConfig(mode="fast", backend="pallas", soft_vis_beta=0.05),
         RenderConfig(mode="fast", backend="pallas", geom_axis="g",
                      geom_axis_size=2),
+        RenderConfig(mode="fast", backend="pallas", sort_rays="on"),
     ):
         assert not fused_bounce_supported(cornell_scene, bad)
+    with pytest.raises(AssertionError):
+        render(
+            cornell_scene,
+            RenderConfig(mode="fast", backend="pallas", sort_rays="on",
+                         fused_bounce="on"),
+        )
     with pytest.raises(AssertionError):
         render(
             cornell_scene,
