@@ -80,6 +80,9 @@ def main() -> None:
     cfg = RenderConfig(
         mode="fast", n_samples=spp, n_bounces=bounces, n_light_samples=nee,
         backend="pallas" if on_tpu else "xla", fused_bounce=fused,
+        # all spp ride the wavefront as extra lanes: spp x fewer kernel
+        # launches, bit-identical output (render_rays docstring)
+        batch_samples=True,
     )
 
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, width, height)
