@@ -273,12 +273,25 @@ def candidate_worklist(
     # nearest candidate clusters per block, already sorted by entry
     mc = min(trunc_k if trunc_k is not None else maxc, c)
     key = jnp.where(hit, jnp.maximum(enter, 0.0), BIG)
-    nk = min(mc + 1, c) if trunc_k is not None else mc
+    lane_m = min(LANE_M, max(c - mc, 0)) if trunc_k is not None else 0
+    nk = min(mc + lane_m + 1, c) if trunc_k is not None else mc
     vals, idxs = lax.top_k(-key, nk)                    # [nrb, nk]
+    drops = None
     if trunc_k is not None and nk > mc:
         # entry bound of the first dropped candidate; key is BIG for
         # non-candidates, so blocks with <= mc candidates report BIG
         next_entry = -vals[:, mc]
+        if lane_m:
+            # the first lane_m dropped clusters, for the PER-LANE
+            # finality refinement (_lane_unseen_bound): their ids, their
+            # block keys (BIG = not a candidate -> ignore), and the
+            # block-level bound past them (BIG when the drops already
+            # cover every remaining cluster)
+            far = (
+                -vals[:, mc + lane_m] if mc + lane_m < c
+                else jnp.full((nrb,), BIG, o3p.dtype)
+            )
+            drops = (idxs[:, mc:mc + lane_m], -vals[:, mc:mc + lane_m], far)
         idxs = idxs[:, :mc]
     else:
         next_entry = jnp.full((nrb,), BIG, o3p.dtype)
@@ -304,7 +317,60 @@ def candidate_worklist(
         overflow = total > w_cap  # truncation is NOT overflow
     else:
         overflow = jnp.any(ncand_full > mc) | (total > w_cap)
-    return packed, ncand, overflow, next_entry
+    return packed, ncand, overflow, next_entry, drops
+
+
+# Per-lane finality refinement for truncated (two-pass) sweeps: how many
+# dropped clusters get an EXACT per-lane slab entry (the rest fall back
+# to the block-level bound). The block bound alone degenerates on bounce
+# wavefronts — origins sit inside many overlapping entry-0 cluster AABBs
+# so ne == 0 marks every lane unfinished (the measured round-2 negative);
+# a lane's own entry to those clusters is usually positive.
+LANE_M = 8
+
+
+def _lane_unseen_bound(o3p, d3p, aabb8, drops, r_blk):
+    """Per-lane lower bound on the entry distance of every cluster the
+    truncated pass-1 list dropped. [n]; BIG when nothing was dropped.
+
+    For the first LANE_M dropped clusters (block front-to-back order)
+    the bound is the lane's own exact slab entry (misses contribute
+    nothing — the cluster cannot intersect that lane at all); every
+    further cluster is bounded by its block-level key, which the
+    front-to-back order makes monotone."""
+    drop_ids, drop_keys, far = drops
+    nrb, m = drop_ids.shape
+    n = o3p.shape[1]
+    o = o3p.reshape(3, nrb, 1, r_blk)
+    d = d3p.reshape(3, nrb, 1, r_blk)
+    boxes = aabb8[drop_ids]                  # [nrb, m, 8]
+    # a drop slot names a real dropped candidate iff its block key is
+    # finite (top_k pads non-candidates with BIG keys)
+    valid = drop_keys < BIG
+
+    enter = None
+    exit_ = None
+    for k in range(3):
+        d_k = d[k]
+        safe_d = jnp.where(
+            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
+        )
+        inv = 1.0 / safe_d                              # [nrb, 1, r_blk]
+        lo = (boxes[:, :, k][:, :, None] - o[k]) * inv  # [nrb, m, r_blk]
+        hi = (boxes[:, :, k + 3][:, :, None] - o[k]) * inv
+        tn = jnp.minimum(lo, hi)
+        tf = jnp.maximum(lo, hi)
+        enter = tn if enter is None else jnp.maximum(enter, tn)
+        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    hit = exit_ >= jnp.maximum(enter, 0.0) - SLAB_EPS
+    lane_entry = jnp.where(
+        hit & valid[:, :, None], jnp.maximum(enter, 0.0), BIG
+    )
+    bound = jnp.minimum(
+        jnp.min(lane_entry, axis=1),                    # [nrb, r_blk]
+        far[:, None],
+    )
+    return bound.reshape(n)
 
 
 def _inv_rows(d_rows):
@@ -904,6 +970,7 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 # re-tests everything its lanes could need.
 
 PASS1_K = 4        # pass-1 candidate clusters per block
+TWO_PASS_NEAREST_AUTO = False  # flip after --two-pass-nearest wins on TPU
 # Short-grid cascade: the sparse grid is STATIC (w_cap steps) while the
 # real item total is data-dependent (~5-8k of 65536 on the measured
 # 100k-box-field wavefronts), so most steps are inactive tail churn.
@@ -969,10 +1036,11 @@ def _nearest_chunk(o3, d3, tripack, statics):
             group=group,
         )
         next_entry = jnp.full((nrb,), BIG, o3.dtype)
+        drops = None
         cascade_counts = -(-ncand // group)
     else:
         w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
-        packed, ncand, overflow, next_entry = candidate_worklist(
+        packed, ncand, overflow, next_entry, drops = candidate_worklist(
             aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
             trunc_k=trunc_k or None,
         )
@@ -1034,9 +1102,14 @@ def _nearest_chunk(o3, d3, tripack, statics):
         return _xla_nearest_t_idx(o3s, d3s, tps)
 
     t, idx = lax.cond(overflow, fallback_branch, sparse_branch, None)
-    ne = jnp.where(overflow, BIG, next_entry)
-    ne_lane = jnp.repeat(ne, r_blk, total_repeat_length=n)
-    return t, idx, ne_lane
+    if trunc_k and drops is not None:
+        # per-lane refinement: exact lane entries to the first LANE_M
+        # dropped clusters, block bound beyond — far sharper than the
+        # block-level next_entry on bounce wavefronts
+        ne_lane = _lane_unseen_bound(o3s, d3s, aabb8, drops, r_blk)
+    else:
+        ne_lane = jnp.repeat(next_entry, r_blk, total_repeat_length=n)
+    return t, idx, jnp.where(overflow, BIG, ne_lane)
 
 
 def _any_hit_chunk(o3, d3, maxd, tripack, statics):
@@ -1060,10 +1133,11 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
             group=group,
         )
         next_entry = jnp.full((nrb,), BIG, o3.dtype)
+        drops = None
         cascade_counts = -(-ncand // group)
     else:
         w_cap = _w_cap(nrb, trunc_k if trunc_k else w_per_rb)
-        packed, ncand, overflow, next_entry = candidate_worklist(
+        packed, ncand, overflow, next_entry, drops = candidate_worklist(
             aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
             trunc_k=trunc_k or None,
         )
@@ -1117,8 +1191,11 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
         return _xla_any_hit(o3, d3, maxd, tripack)
 
     occ = lax.cond(overflow, fallback_branch, sparse_branch, None)
-    ne = jnp.where(overflow, BIG, next_entry)
-    return occ, jnp.repeat(ne, r_blk, total_repeat_length=n)
+    if trunc_k and drops is not None:
+        ne_lane = _lane_unseen_bound(o3, d3, aabb8, drops, r_blk)
+    else:
+        ne_lane = jnp.repeat(next_entry, r_blk, total_repeat_length=n)
+    return occ, jnp.where(overflow, BIG, ne_lane)
 
 
 def _pack_for_sparse(scene, c_tri):
@@ -1290,15 +1367,17 @@ def sparse_nearest_t_idx_cm(
     tripack = _pack_for_sparse(scene, c_tri)
     statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
                else group)
-    # auto keeps two-pass OFF for nearest: bounce wavefronts originate
-    # ON geometry inside many overlapping cluster AABBs (entry 0), so the
-    # block-level finality bound marks nearly every lane unfinished and
-    # the second pass degenerates to a full re-sweep (measured: 2084 vs
-    # 1883 ms on the 100k box field). Occlusion gives any-hit a true
-    # per-lane finality signal; nearest needs per-lane candidate ranks.
+    # auto keeps two-pass OFF for nearest pending re-measurement: with the
+    # BLOCK-level finality bound it degenerated (bounce origins sit inside
+    # many overlapping entry-0 cluster AABBs -> every lane unfinished;
+    # measured 2084 vs 1883 ms on the 100k box field). The per-lane
+    # refinement (_lane_unseen_bound, LANE_M exact lane entries to the
+    # dropped clusters) is built exactly for this case — bench it with
+    # scripts/bench_large.py --two-pass-nearest K before flipping auto.
     t, idx = _sparse_nearest_entry(
         o3, d3_unit, tripack, statics, chunk_rb,
-        _resolve_two_pass(two_pass, n, default_on=False), m_div,
+        _resolve_two_pass(two_pass, n, default_on=TWO_PASS_NEAREST_AUTO),
+        m_div,
     )
     t, idx = t[:n], idx[:n]
     return jnp.where(idx >= 0, t, 0.0), idx

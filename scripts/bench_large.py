@@ -60,6 +60,10 @@ def main() -> None:
         help="force two_pass trunc_k (default: module auto)",
     )
     p.add_argument(
+        "--two-pass-nearest", type=int, default=None,
+        help="enable nearest two-pass with this trunc_k (per-lane bound)",
+    )
+    p.add_argument(
         "--platform", default=None,
         help="jax platform override (e.g. cpu — the axon sitecustomize "
         "pins the tunneled TPU, which hangs when the tunnel is down)",
@@ -71,6 +75,9 @@ def main() -> None:
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
     sp.GROUP = args.group
+    if args.two_pass_nearest is not None:
+        sp.TWO_PASS_NEAREST_AUTO = True
+        sp.PASS1_K = args.two_pass_nearest
     if args.two_pass is not None:
         sp.PASS1_K = args.two_pass
         if args.two_pass == 0:

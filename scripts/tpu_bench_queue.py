@@ -50,6 +50,9 @@ STEPS = [
      #  the informative A/B is OFF (re-measure the cascade without it)
      [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "0"],
      2400),
+    ("large_twopass_nearest4",
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass-nearest",
+      "4"], 2400),
     ("large_dense_baseline",
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
 ]

@@ -437,3 +437,23 @@ def test_grouped_starved_worklist_falls_back(field_scene):
     )
     np.testing.assert_array_equal(np.asarray(i_d), np.asarray(i_s))
     np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_s))
+
+
+def test_two_pass_lane_bound_variants(field_scene, monkeypatch):
+    """Two-pass results are identical under the per-lane refined bound
+    (LANE_M > 0) and the block-level bound (LANE_M = 0); the refined
+    bound must finalize at least as many lanes (it is pointwise >= the
+    block bound, so fewer survivors reach pass 2)."""
+    o3, d3 = _random_rays(700, seed=17)
+    t_ref, i_ref = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                              two_pass=0)
+    for lane_m in (0, 8):
+        monkeypatch.setattr(sp, "LANE_M", lane_m)
+        t_2, i_2 = sp.sparse_nearest_t_idx_cm(o3, d3, field_scene,
+                                              two_pass=4)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_2))
+        np.testing.assert_array_equal(np.asarray(t_ref), np.asarray(t_2))
+        maxd = jnp.full((o3.shape[1],), 6.0, jnp.float32)
+        o_0 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0)
+        o_2 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=4)
+        np.testing.assert_array_equal(np.asarray(o_0), np.asarray(o_2))
