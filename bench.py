@@ -90,14 +90,30 @@ def main() -> None:
     run_ids = jax.device_put(jnp.arange(4, dtype=jnp.uint32) * REPS)
     jax.block_until_ready((origins, dirs, pixel_ids, run_ids))
 
-    @jax.jit
-    def run(sc, o, d, p, rid):
-        def body(acc, i):
-            key = jax.random.fold_in(jax.random.PRNGKey(0), i + rid)
-            return acc + jnp.sum(render_rays(o, d, p, sc, cfg, key)), None
-        return lax.scan(body, 0.0, jnp.arange(REPS, dtype=jnp.uint32))[0]
+    def make_run(cfg):
+        @jax.jit
+        def run(sc, o, d, p, rid):
+            def body(acc, i):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), i + rid)
+                return acc + jnp.sum(
+                    render_rays(o, d, p, sc, cfg, key)
+                ), None
+            return lax.scan(body, 0.0, jnp.arange(REPS, dtype=jnp.uint32))[0]
+        return run
 
-    float(run(scene, origins, dirs, pixel_ids, run_ids[0]))  # compile+warm
+    run = make_run(cfg)
+    try:
+        float(run(scene, origins, dirs, pixel_ids, run_ids[0]))  # warm
+    except Exception as e:  # noqa: BLE001 — never lose the headline: a
+        # kernel-compile regression on the fused path must degrade to the
+        # composed-kernel measurement, not a missing BENCH number
+        print(f"fused path failed ({type(e).__name__}: {e}); "
+              "falling back to fused_bounce=off", file=sys.stderr)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fused_bounce="off")
+        run = make_run(cfg)
+        float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
     overhead = _fetch_overhead_s()
 
     best = float("inf")
