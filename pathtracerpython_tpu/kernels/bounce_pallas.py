@@ -114,9 +114,98 @@ def _shade_pack(scene) -> jax.Array:
     return jnp.concatenate(cols, axis=1)
 
 
+# In-kernel RNG: compute the threefry draws on [1, R] rows inside the
+# kernel (ops/rng.py formulas verbatim -> bit-identical uniforms) instead
+# of streaming 5S+3 precomputed rows through HBM per bounce. Flag-gated:
+# flip to False if a Mosaic lowering gap (u32 shifts / bitcast) surfaces
+# on real hardware — the uniforms-operand variant below stays compiled
+# into the fallback path either way, and bench.py degrades gracefully.
+RNG_IN_KERNEL = True
+
+
+_TF_ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+
+
+def _threefry_rows(k0, k1, x0, h: int):
+    """Threefry-2x32 on a [1, R] u32 counter row, kernel-safe: every
+    constant is a python int immediate (Pallas rejects captured jnp
+    constants, which rules out ops.rng.threefry2x32's module globals).
+    Bit-identical to ops.rng.threefry2x32(k0, k1, cnt, h)."""
+    x1 = jnp.zeros_like(x0) + h
+    ks = (k0, k1, k0 ^ k1 ^ 0x1BD11BDA)
+    x0 = x0 + ks[0]
+    x1 = x1 + ks[1]
+
+    def rotl(x, r):
+        return (x << r) | (x >> (32 - r))
+
+    for block in range(5):
+        rots = _TF_ROT[0:4] if block % 2 == 0 else _TF_ROT[4:8]
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl(x1, r) ^ x0
+        x0 = x0 + ks[(block + 1) % 3]
+        x1 = x1 + ks[(block + 2) % 3] + (block + 1)
+    return x0, x1
+
+
+def _kernel_uniform_rows(k0, k1, cnt_u32, draws):
+    """{draw d: [1, R] f32} replicating ops.rng.uniforms row d exactly
+    (same hash per d >> 1, y0/y1 parity pick); hashes are cached so
+    sibling draws share one threefry evaluation."""
+    cache = {}
+    out = {}
+    for d in draws:
+        h = d >> 1
+        if h not in cache:
+            cache[h] = _threefry_rows(k0, k1, cnt_u32, h)
+        bits = cache[h][d & 1]
+        f = (bits >> 9) | 0x3F800000
+        out[d] = jax.lax.bitcast_convert_type(f, jnp.float32) - 1.0
+    return out
+
+
 def _bounce_kernel(
     tri_ref, shade_ref, lp_ref, scal_ref,
     o_ref, d_ref, du_ref, rad_ref, aux_ref, unee_ref, uscat_ref,
+    o_out, d_out, rad_out, aux_out, idx_out, occ_out,
+    *, s_samples: int, l_tris: int, use_background: bool,
+):
+    get_nee = lambda d: unee_ref[d:d + 1, :]
+    get_scat = lambda d: uscat_ref[d:d + 1, :]
+    _bounce_core(
+        tri_ref, shade_ref, lp_ref, scal_ref, o_ref, d_ref, du_ref,
+        rad_ref, aux_ref, get_nee, get_scat,
+        o_out, d_out, rad_out, aux_out, idx_out, occ_out,
+        s_samples=s_samples, l_tris=l_tris, use_background=use_background,
+    )
+
+
+def _bounce_kernel_rng(
+    tri_ref, shade_ref, lp_ref, scal_ref,
+    o_ref, d_ref, du_ref, rad_ref, aux_ref, keys_ref, cnt_ref,
+    o_out, d_out, rad_out, aux_out, idx_out, occ_out,
+    *, s_samples: int, l_tris: int, use_background: bool,
+):
+    cnt = cnt_ref[0:1, :].astype(jnp.uint32)
+    nee_draws = [5 * s + j for s in range(s_samples) for j in range(3)]
+    u_nee = _kernel_uniform_rows(
+        keys_ref[0, 0], keys_ref[0, 1], cnt, nee_draws
+    )
+    u_scat = _kernel_uniform_rows(
+        keys_ref[0, 2], keys_ref[0, 3], cnt, [0, 1, 2]
+    )
+    _bounce_core(
+        tri_ref, shade_ref, lp_ref, scal_ref, o_ref, d_ref, du_ref,
+        rad_ref, aux_ref, u_nee.__getitem__, u_scat.__getitem__,
+        o_out, d_out, rad_out, aux_out, idx_out, occ_out,
+        s_samples=s_samples, l_tris=l_tris, use_background=use_background,
+    )
+
+
+def _bounce_core(
+    tri_ref, shade_ref, lp_ref, scal_ref,
+    o_ref, d_ref, du_ref, rad_ref, aux_ref, get_nee, get_scat,
     o_out, d_out, rad_out, aux_out, idx_out, occ_out,
     *, s_samples: int, l_tris: int, use_background: bool,
 ):
@@ -167,9 +256,9 @@ def _bounce_kernel(
     total = lp_ref[l_tris - 1, 9]
     mean = None
     for s in range(s_samples):
-        u_pick = unee_ref[5 * s:5 * s + 1, :]
-        u1 = unee_ref[5 * s + 1:5 * s + 2, :]
-        u2 = unee_ref[5 * s + 2:5 * s + 3, :]
+        u_pick = get_nee(5 * s)
+        u1 = get_nee(5 * s + 1)
+        u2 = get_nee(5 * s + 2)
         x = u_pick * total
         pick = jnp.zeros_like(x)
         for l in range(l_tris - 1):
@@ -221,9 +310,9 @@ def _bounce_kernel(
         rad_out[c:c + 1, :] = rad_ref[c:c + 1, :] + contrib[c]
 
     # --- scatter (integrator.scatter, fast mode) -------------------------
-    u0 = row(uscat_ref, 0)
-    h1 = row(uscat_ref, 1)
-    h2 = row(uscat_ref, 2)
+    u0 = get_scat(0)
+    h1 = get_scat(1)
+    h2 = get_scat(2)
     r = jnp.sqrt(h1)
     theta = TAU * h2
     xh = r * jnp.cos(theta)
@@ -308,6 +397,60 @@ def _bounce_call(tripack, shadepack, lightpack, scal, o3, d3, d3u, rad3,
     )(tripack, shadepack, lightpack, scal, o3, d3, d3u, rad3, aux, u_nee,
       u_scat)
     return outs
+
+
+def _bounce_call_rng(tripack, shadepack, lightpack, scal, o3, d3, d3u,
+                     rad3, aux, keys4, cnt, s_samples: int,
+                     use_background: bool):
+    n_pad = o3.shape[1]
+    t_count = tripack.shape[0]
+    l_tris = lightpack.shape[0]
+    r_blk = _r_blk(t_count)
+    grid = (pl.cdiv(n_pad, r_blk),)
+
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec(
+        (1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    keys_spec = pl.BlockSpec(
+        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+    )
+    blk = lambda rows: pl.BlockSpec(
+        (rows, r_blk), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    kern = functools.partial(
+        _bounce_kernel_rng, s_samples=s_samples, l_tris=l_tris,
+        use_background=use_background,
+    )
+    # threefry: ~8 hashes x 20 rounds x ~4 int ops per lane
+    rng_ops = 650 * n_pad
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            whole, whole, whole, scal_spec,
+            blk(3), blk(3), blk(3), blk(3), blk(4),
+            keys_spec, blk(1),
+        ],
+        out_specs=[blk(3), blk(3), blk(3), blk(4), blk(1), blk(s_samples)],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), o3.dtype),
+            jax.ShapeDtypeStruct((3, n_pad), o3.dtype),
+            jax.ShapeDtypeStruct((3, n_pad), o3.dtype),
+            jax.ShapeDtypeStruct((4, n_pad), o3.dtype),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((s_samples, n_pad), o3.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=60 * n_pad * t_count * (1 + s_samples) + 400 * n_pad
+            + rng_ops,
+            bytes_accessed=(n_pad * 17 + t_count * 24) * 4,
+            transcendentals=4 * n_pad * (1 + s_samples),
+        ),
+        interpret=_interpret(),
+    )(tripack, shadepack, lightpack, scal, o3, d3, d3u, rad3, aux, keys4,
+      cnt)
 
 
 def _smooth_bounce(o3, d3, tp, rad3, alive_f, prevspec_f, u_nee, u_scat,
@@ -407,8 +550,9 @@ def _prep(scene, o3, d3, tp, alive_f, prevspec_f, rad3, u_nee, u_scat,
     rad3p = p(rad3, 0.0)
     aux = jnp.stack([tp, alive_f, prevspec_f, jnp.ones(n, o3.dtype)])
     auxp = p(aux, 0.0)
-    uneep = p(u_nee, 0.5)
-    uscatp = p(u_scat, 0.5)
+    # the in-kernel-RNG entry passes keys/counters instead of uniforms
+    uneep = p(u_nee, 0.5) if u_nee is not None else None
+    uscatp = p(u_scat, 0.5) if u_scat is not None else None
     return tripack, shadepack, lightpack, scal, o3p, d3p, d3up, rad3p, \
         auxp, uneep, uscatp
 
@@ -475,3 +619,88 @@ def _fused_bwd(s_samples, use_background, res, cots):
 
 
 fused_bounce.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel-RNG entry: the integrator passes the per-bounce threefry keys
+# and the path counters instead of 5S+3 precomputed uniform rows — the
+# draws never touch HBM and the per-bounce XLA RNG fusion disappears. The
+# backward recomputes the identical uniforms in plain JAX (ops.rng) and
+# replays the smooth bounce with pinned discretes, exactly like
+# fused_bounce above.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_bounce_rng(s_samples, use_background, o3, d3, tp, alive_f,
+                     prevspec_f, rad3, keys4, counters, scene):
+    """One fused bounce step with in-kernel RNG. ``keys4``: uint32[4]
+    (nee k0, nee k1, scatter k0, scatter k1) for this bounce;
+    ``counters``: uint32[N] global path ids. Bit-identical uniforms (and
+    hence results) to the uniforms-operand ``fused_bounce``."""
+    out, _, _ = _fused_rng_impl(
+        s_samples, use_background, o3, d3, tp, alive_f, prevspec_f, rad3,
+        keys4, counters, scene,
+    )
+    return out
+
+
+def _fused_rng_impl(s_samples, use_background, o3, d3, tp, alive_f,
+                    prevspec_f, rad3, keys4, counters, scene):
+    n = o3.shape[1]
+    (tripack, shadepack, lightpack, scal, o3p, d3p, d3up, rad3p, auxp,
+     ) = _prep(
+        scene, o3, d3, tp, alive_f, prevspec_f, rad3, None, None,
+        use_background,
+    )[:9]
+    r_blk = _r_blk(tripack.shape[0])
+    cnt = _pad_dim(
+        counters.astype(jnp.uint32)[None, :], r_blk, axis=1, value=0,
+    )
+    o_n, d_n, rad_n, aux_n, idx, occ = _bounce_call_rng(
+        tripack, shadepack, lightpack, scal, o3p, d3p, d3up, rad3p, auxp,
+        keys4.astype(jnp.uint32)[None, :], cnt, s_samples, use_background,
+    )
+    cut = lambda x: x[:, :n]
+    out = (
+        cut(o_n), cut(d_n), aux_n[0, :n], aux_n[1, :n], aux_n[2, :n],
+        cut(rad_n),
+    )
+    return out, idx[0, :n], occ[:, :n]
+
+
+def _fused_rng_fwd(s_samples, use_background, o3, d3, tp, alive_f,
+                   prevspec_f, rad3, keys4, counters, scene):
+    out, idx, occ = _fused_rng_impl(
+        s_samples, use_background, o3, d3, tp, alive_f, prevspec_f, rad3,
+        keys4, counters, scene,
+    )
+    res = (o3, d3, tp, alive_f, prevspec_f, rad3, keys4, counters, scene,
+           idx, occ)
+    return out, res
+
+
+def _fused_rng_bwd(s_samples, use_background, res, cots):
+    from pathtracerpython_tpu.ops import rng
+
+    (o3, d3, tp, alive_f, prevspec_f, rad3, keys4, counters, scene,
+     idx, occ) = res
+    co, cd, ctp, _ca, _cp, crad = cots
+
+    def f(o3_, d3_, tp_, rad3_, scene_, keys4_, counters_):
+        u_nee = rng.uniforms(keys4_[0], keys4_[1], counters_,
+                             s_samples * 5)
+        u_scat = rng.uniforms(keys4_[2], keys4_[3], counters_, 3)
+        return _smooth_bounce(
+            o3_, d3_, tp_, rad3_, alive_f, prevspec_f, u_nee, u_scat,
+            scene_, idx, occ, s_samples, use_background,
+        )
+
+    _, vjp = jax.vjp(f, o3, d3, tp, rad3, scene, keys4, counters)
+    do3, dd3, dtp, drad, dscene, dkeys, dcnt = vjp((co, cd, ctp, crad))
+    return (
+        do3, dd3, dtp, jnp.zeros_like(alive_f), jnp.zeros_like(prevspec_f),
+        drad, dkeys, dcnt, dscene,
+    )
+
+
+fused_bounce_rng.defvjp(_fused_rng_fwd, _fused_rng_bwd)

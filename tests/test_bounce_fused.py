@@ -117,3 +117,29 @@ def test_fused_gradients_match_unfused(cornell_scene, field):
     g_off = np.asarray(jax.grad(loss)(v0, off))
     scale = max(np.abs(g_off).max(), 1e-6)
     np.testing.assert_allclose(g_on, g_off, rtol=5e-4, atol=5e-4 * scale)
+
+
+def test_rng_in_kernel_bitmatch(cornell_scene, monkeypatch):
+    """The in-kernel threefry draws replicate ops.rng.uniforms exactly
+    (integer math, no fp reassociation), so the two fused variants must
+    be BIT-identical — render and gradients."""
+    from pathtracerpython_tpu.kernels import bounce_pallas as bp
+
+    on, _ = _pair(n_bounces=3)
+    monkeypatch.setattr(bp, "RNG_IN_KERNEL", True)
+    a = np.asarray(render(cornell_scene, on, seed=3))
+    monkeypatch.setattr(bp, "RNG_IN_KERNEL", False)
+    b = np.asarray(render(cornell_scene, on, seed=3))
+    np.testing.assert_array_equal(a, b)
+
+    def loss(rgb, sc=cornell_scene):
+        return jnp.sum(render(
+            dataclasses.replace(sc, mat_rgb=rgb), _pair(n_bounces=2)[0],
+            seed=5,
+        ))
+
+    monkeypatch.setattr(bp, "RNG_IN_KERNEL", True)
+    g_a = np.asarray(jax.grad(loss)(cornell_scene.mat_rgb))
+    monkeypatch.setattr(bp, "RNG_IN_KERNEL", False)
+    g_b = np.asarray(jax.grad(loss)(cornell_scene.mat_rgb))
+    np.testing.assert_allclose(g_a, g_b, rtol=1e-6, atol=1e-8)
