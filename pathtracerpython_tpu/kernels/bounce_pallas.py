@@ -188,13 +188,10 @@ def _bounce_kernel_rng(
     *, s_samples: int, l_tris: int, use_background: bool,
 ):
     cnt = cnt_ref[0:1, :].astype(jnp.uint32)
+    key = lambda k: keys_ref[0, 0, k].astype(jnp.uint32)
     nee_draws = [5 * s + j for s in range(s_samples) for j in range(3)]
-    u_nee = _kernel_uniform_rows(
-        keys_ref[0, 0], keys_ref[0, 1], cnt, nee_draws
-    )
-    u_scat = _kernel_uniform_rows(
-        keys_ref[0, 2], keys_ref[0, 3], cnt, [0, 1, 2]
-    )
+    u_nee = _kernel_uniform_rows(key(0), key(1), cnt, nee_draws)
+    u_scat = _kernel_uniform_rows(key(2), key(3), cnt, [0, 1, 2])
     _bounce_core(
         tri_ref, shade_ref, lp_ref, scal_ref, o_ref, d_ref, du_ref,
         rad_ref, aux_ref, u_nee.__getitem__, u_scat.__getitem__,
@@ -294,9 +291,9 @@ def _bounce_core(
     mean_cos = mean / float(s_samples)
 
     # --- shade (integrator.shade, fast mode) -----------------------------
-    ambient = scal_ref[0, 0]
-    light = (scal_ref[0, 1], scal_ref[0, 2], scal_ref[0, 3])
-    bg = (scal_ref[0, 4], scal_ref[0, 5], scal_ref[0, 6])
+    ambient = scal_ref[0, 0, 0]
+    light = (scal_ref[0, 0, 1], scal_ref[0, 0, 2], scal_ref[0, 0, 3])
+    bg = (scal_ref[0, 0, 4], scal_ref[0, 0, 5], scal_ref[0, 0, 6])
     rgb = (cr, cg, cb)
     contrib = []
     for c in range(3):
@@ -360,8 +357,10 @@ def _bounce_call(tripack, shadepack, lightpack, scal, o3, d3, d3u, rad3,
     grid = (pl.cdiv(n_pad, r_blk),)
 
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # (1, 1, 8): the proven SMEM shape — TPU lowering wants the last two
+    # block dims equal to the array dims when not tile-aligned
     scal_spec = pl.BlockSpec(
-        (1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM
     )
     blk = lambda rows: pl.BlockSpec(
         (rows, r_blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -409,11 +408,13 @@ def _bounce_call_rng(tripack, shadepack, lightpack, scal, o3, d3, d3u,
     grid = (pl.cdiv(n_pad, r_blk),)
 
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # (1, 1, 8): the proven SMEM shape — TPU lowering wants the last two
+    # block dims equal to the array dims when not tile-aligned
     scal_spec = pl.BlockSpec(
-        (1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 1, 8), lambda i: (0, 0, 0), memory_space=pltpu.SMEM
     )
     keys_spec = pl.BlockSpec(
-        (1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM
+        (1, 1, 4), lambda i: (0, 0, 0), memory_space=pltpu.SMEM
     )
     blk = lambda rows: pl.BlockSpec(
         (rows, r_blk), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -537,7 +538,7 @@ def _prep(scene, o3, d3, tp, alive_f, prevspec_f, rad3, u_nee, u_scat,
     bg = scene.background if use_background else jnp.zeros(3, o3.dtype)
     scal = sg(jnp.concatenate([
         scene.ambient[None], scene.light_color, bg, jnp.zeros(1, o3.dtype)
-    ])[None, :])
+    ])[None, None, :])
 
     from pathtracerpython_tpu.ops.geometry import normalize3
 
@@ -654,11 +655,12 @@ def _fused_rng_impl(s_samples, use_background, o3, d3, tp, alive_f,
     )[:9]
     r_blk = _r_blk(tripack.shape[0])
     cnt = _pad_dim(
-        counters.astype(jnp.uint32)[None, :], r_blk, axis=1, value=0,
+        counters.astype(jnp.int32)[None, :], r_blk, axis=1, value=0,
     )
     o_n, d_n, rad_n, aux_n, idx, occ = _bounce_call_rng(
         tripack, shadepack, lightpack, scal, o3p, d3p, d3up, rad3p, auxp,
-        keys4.astype(jnp.uint32)[None, :], cnt, s_samples, use_background,
+        keys4.astype(jnp.int32)[None, None, :], cnt, s_samples,
+        use_background,
     )
     cut = lambda x: x[:, :n]
     out = (
