@@ -457,3 +457,60 @@ def test_two_pass_lane_bound_variants(field_scene, monkeypatch):
         o_0 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=0)
         o_2 = sp.sparse_any_hit_cm(o3, d3, maxd, field_scene, two_pass=4)
         np.testing.assert_array_equal(np.asarray(o_0), np.asarray(o_2))
+
+
+def test_lane_bound_is_conservative(field_scene):
+    """Property: for every lane, the per-lane unseen bound is a true
+    lower bound on the exact slab entry of every cluster its block's
+    truncated list dropped (misses count as BIG). This is the invariant
+    that makes two-pass finality exact."""
+    o3, d3 = _random_rays(1024, seed=23)
+    r_blk, K = 512, 4
+    o3p = sp._pad_repeat_last(o3, r_blk)
+    d3p = sp._pad_repeat_last(d3, r_blk)
+    tp = sp._pack_for_sparse(field_scene, 128)
+    aabb8 = sp.cluster_aabbs(tp, 128)
+    n = o3p.shape[1]
+    nrb = n // r_blk
+    tmax = jnp.full((nrb,), sp.BIG, jnp.float32)
+    packed, ncand, ovf, ne, drops = sp.candidate_worklist(
+        aabb8, o3p, d3p, tmax, r_blk=r_blk, maxc=sp.MAXC, w_cap=65536,
+        trunc_k=K,
+    )
+    assert drops is not None
+    bound = np.asarray(sp._lane_unseen_bound(o3p, d3p, aabb8, drops, r_blk))
+
+    # exact per-lane entries to every cluster (reference: slab per lane)
+    enter_l, hit_l = sp._candidate_enter_hit(
+        aabb8, o3p, d3p, jnp.full((n,), sp.BIG), 1
+    )
+    lane_entry = np.asarray(
+        jnp.where(hit_l, jnp.maximum(enter_l, 0.0), sp.BIG)
+    )  # [n, C]
+
+    # which clusters were IN each block's pass-1 list
+    _, _, _, _, d2 = sp.candidate_worklist(
+        aabb8, o3p, d3p, tmax, r_blk=r_blk, maxc=sp.MAXC, w_cap=65536,
+        trunc_k=K,
+    )
+    key = np.asarray(jnp.where(
+        sp._candidate_enter_hit(aabb8, o3p, d3p, tmax, r_blk)[1],
+        jnp.maximum(
+            sp._candidate_enter_hit(aabb8, o3p, d3p, tmax, r_blk)[0], 0.0
+        ),
+        sp.BIG,
+    ))
+    order = np.argsort(key, axis=1, kind="stable")
+    in_pass1 = np.zeros_like(key, dtype=bool)
+    for b in range(nrb):
+        cand = order[b][key[b][order[b]] < sp.BIG][:K]
+        in_pass1[b, cand] = True
+
+    C = aabb8.shape[0]
+    viol = 0
+    for b in range(nrb):
+        lanes = slice(b * r_blk, (b + 1) * r_blk)
+        unseen = ~in_pass1[b]
+        min_unseen = lane_entry[lanes][:, unseen].min(axis=1)
+        viol += int((min_unseen < bound[lanes] - 1e-3).sum())
+    assert viol == 0, viol
