@@ -1,0 +1,218 @@
+"""MXU probe: can the ray-triangle sweep ride the systolic array?
+
+The dense Möller–Trumbore megakernel is pure VPU work (~40 [T, R] ops
+per pair, measured 37% of VPU f32 peak). The Plücker formulation turns
+the in-triangle test into THREE K=6 matmuls — W_e = E_e[T, 6] @ P[6, R]
+per edge, hit iff the three side signs agree — moving ~21 of those ops
+to the MXU (idle today), and leaves a ~17-op VPU epilogue: a
+subtract-first plane t (t = n·(v0 − o) / n·d, the form that does NOT
+cancel for surface-origin rays — the precomputed-constant form was the
+measured round-2 accuracy negative, docs/PERFORMANCE.md), sign checks,
+and the min-reduce.
+
+This script is the DECISION PROBE, not the production kernel: it
+verifies the Plücker kernel agrees with the MT sweep (same hits and t up
+to the boundary-grazing ulp class every backend comparison tolerates)
+and times both on identical workloads. If the probe shows >=1.5x on
+real hardware, the fused-bounce kernel's sweeps are the integration
+target.
+
+Usage: python scripts/mxu_probe.py [--rays 262144] [--tris 512]
+       [--reps 20] [--platform cpu]
+Prints one JSON line per kernel with Gtest/s.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def build(parsed):
+    from pathtracerpython_tpu.kernels.intersect_pallas import (
+        BIG,
+        _interpret,
+        _mt_block,
+    )
+
+    R_BLK = 2048 if parsed.tris <= 64 else 512
+    T = parsed.tris
+
+    # ---- packs ----------------------------------------------------------
+    def tri_pack_plucker(v0, v1, v2):
+        """Per-edge Plücker rows E[3][T, 8] (dir | moment | pad2) and the
+        plane rows n[T, 3] (unit), all f32."""
+        packs = []
+        for a, b in ((v0, v1), (v1, v2), (v2, v0)):
+            e = b - a
+            m = np.cross(a, b)
+            packs.append(
+                np.concatenate([e, m, np.zeros((T, 2), np.float32)], axis=1)
+            )
+        n = np.cross(v1 - v0, v2 - v0)
+        n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+        return [jnp.asarray(p, jnp.float32) for p in packs], jnp.asarray(
+            np.concatenate(
+                [n, v0, np.zeros((T, 2), np.float32)], axis=1
+            ), jnp.float32,
+        )
+
+    def plucker_kernel(e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref,
+                       t_out, idx_out):
+        row = lambda ref, k: ref[k:k + 1, :]
+        ox, oy, oz = row(o_ref, 0), row(o_ref, 1), row(o_ref, 2)
+        dx, dy, dz = row(d_ref, 0), row(d_ref, 1), row(d_ref, 2)
+        # ray Plücker P[6, R] = (d | o × d)
+        mx = oy * dz - oz * dy
+        my = oz * dx - ox * dz
+        mz = ox * dy - oy * dx
+        # side_e = E_dir · (o × d) + E_mom · d  → [T, 8] @ [8, R] (K=8,
+        # 2 pad rows) on the MXU
+        p8 = jnp.concatenate(
+            [mx, my, mz, dx, dy, dz, jnp.zeros_like(dx),
+             jnp.zeros_like(dx)], axis=0
+        )  # [8, R]
+
+        def side(e_ref):
+            return jax.lax.dot_general(
+                e_ref[:, :], p8,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [T, R]
+
+        s0, s1, s2 = side(e0_ref), side(e1_ref), side(e2_ref)
+        inside = ((s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)) | (
+            (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+        )
+        # subtract-first plane t (robust for surface-origin rays)
+        col = lambda c: nv_ref[:, c:c + 1]
+        nx, ny, nz = col(0), col(1), col(2)
+        nd = nx * dx + ny * dy + nz * dz
+        not_par = jnp.abs(nd) > 1e-7
+        t = (
+            nx * (col(3) - ox) + ny * (col(4) - oy) + nz * (col(5) - oz)
+        ) / jnp.where(not_par, nd, 1.0)
+        hit = inside & not_par & (t > 1e-4)
+        key = jnp.where(hit, t, BIG)
+        tmin = jnp.min(key, axis=0, keepdims=True)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        imax = jnp.int32(2**31 - 1)
+        cand = jnp.where((key == tmin) & hit, gidx, imax)
+        idx_out[:] = jnp.min(cand, axis=0, keepdims=True)
+        t_out[:] = tmin
+
+    def mt_kernel(tri_ref, o_ref, d_ref, t_out, idx_out):
+        hit, t = _mt_block(tri_ref, o_ref, d_ref)
+        key = jnp.where(hit, t, BIG)
+        tmin = jnp.min(key, axis=0, keepdims=True)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+        imax = jnp.int32(2**31 - 1)
+        cand = jnp.where((key == tmin) & hit, gidx, imax)
+        idx_out[:] = jnp.min(cand, axis=0, keepdims=True)
+        t_out[:] = tmin
+
+    def call(kern, tri_args, n):
+        grid = (n // R_BLK,)
+        whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+        blk = lambda rows: pl.BlockSpec(
+            (rows, R_BLK), lambda i: (0, i), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[whole] * len(tri_args) + [blk(3), blk(3)],
+            out_specs=[blk(1), blk(1)],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n), jnp.float32),
+                jax.ShapeDtypeStruct((1, n), jnp.int32),
+            ],
+            interpret=_interpret(),
+        )
+
+    return R_BLK, tri_pack_plucker, plucker_kernel, mt_kernel, call
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--rays", type=int, default=262144)
+    p.add_argument("--tris", type=int, default=512)
+    p.add_argument("--reps", type=int, default=20)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from pathtracerpython_tpu.kernels.intersect_pallas import pack_triangles
+
+    R_BLK, tri_pack_plucker, plucker_kernel, mt_kernel, call = build(args)
+    rng = np.random.default_rng(0)
+    T, N = args.tris, args.rays
+    v0 = rng.uniform(-4, 4, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    o = rng.uniform(-5, 5, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o3 = jnp.asarray(o.T)
+    d3 = jnp.asarray(d.T)
+
+    tripack = pack_triangles(
+        jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+        jnp.ones(T, bool), jnp.ones(T, bool),
+    )
+    epacks, nvpack = tri_pack_plucker(v0, v1, v2)
+
+    mt = jax.jit(lambda o_, d_: call(mt_kernel, [tripack], N)(
+        tripack, o_, d_))
+    plk = jax.jit(lambda o_, d_: call(plucker_kernel, epacks + [nvpack], N)(
+        *epacks, nvpack, o_, d_))
+
+    t_m, i_m = map(np.asarray, mt(o3, d3))
+    t_p, i_p = map(np.asarray, plk(o3, d3))
+    agree = (i_m[0] == i_p[0])
+    # boundary-grazing pairs may flip between formulations — report, and
+    # require the disagreement set to be tiny and t to match elsewhere
+    frac = 1.0 - agree.mean()
+    hitm = i_m[0] != 2**31 - 1
+    both = agree & hitm
+    terr = np.abs(t_m[0][both] - t_p[0][both]).max() if both.any() else 0.0
+    assert frac < 2e-3, f"winner disagreement {frac:.2%}"
+    assert terr < 1e-3, f"t mismatch {terr}"
+    print(f"semantics: winner agree {100 * (1 - frac):.3f}%, "
+          f"max t err {terr:.2e}", file=sys.stderr)
+
+    def bench(fn, name):
+        fn(o3, d3)[0].block_until_ready()
+        reps = args.reps
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                r = fn(o3, d3)
+            jax.block_until_ready(r)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        gtest = N * T / best / 1e9
+        print(json.dumps({
+            "kernel": name, "gtest_per_s": round(gtest, 2),
+            "ms": round(best * 1e3, 3),
+            "platform": jax.default_backend(),
+        }), flush=True)
+        return gtest
+
+    a = bench(mt, "mt_vpu")
+    b = bench(plk, "plucker_mxu")
+    print(json.dumps({"kernel": "speedup", "plucker_vs_mt":
+                      round(b / a, 3)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,8 @@ STEPS = [
       "4"], 2400),
     ("large_dense_baseline",
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
+    ("mxu_probe",
+     [sys.executable, os.path.join(REPO, "scripts", "mxu_probe.py")], 1200),
 ]
 
 
