@@ -61,6 +61,15 @@ def test_fused_matches_unfused_background(cornell_scene):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
 
 
+def test_fused_matches_unfused_one_light_sample(cornell_scene):
+    # s_samples=1 exercises the kernel's degenerate sample-loop bounds
+    # (occ output block collapses to one row)
+    on, off = _pair(n_bounces=2, n_light_samples=1)
+    a = np.asarray(render(cornell_scene, on, seed=2))
+    b = np.asarray(render(cornell_scene, off, seed=2))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_matches_unfused_batch_samples(cornell_scene):
     # 2 bounces: past that, isolated lanes may diverge chaotically (see
     # the deep-bounce test); this one pins the batched-lane plumbing
