@@ -71,7 +71,8 @@ def setup(argv=None) -> argparse.Namespace:
                         "morton z-order (default) or median-split BVH "
                         "leaves (fewer candidate clusters on bounce "
                         "wavefronts)")
-    p.add_argument("--accel", choices=("auto", "sparse", "none"),
+    p.add_argument("--accel",
+                   choices=("auto", "sparse", "ranked", "none"),
                    default="auto",
                    help="acceleration hierarchy: auto engages the cluster-"
                         "sparse sweeps for large scenes (bit-identical)")

@@ -85,6 +85,7 @@ def fused_bounce_supported(scene, cfg) -> bool:
         and cfg.backend == "pallas"
         and cfg.geom_axis is None
         and cfg.soft_vis_beta == 0.0
+        and cfg.accel != "ranked"  # explicit accel choice wins
         and cfg.sort_rays != "on"  # sorting parks dead lanes in separate
         #  sweep arrays the fused kernel does not consume (and only pays
         #  on the sparse path, which is excluded below anyway)

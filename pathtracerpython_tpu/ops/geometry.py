@@ -347,7 +347,13 @@ def nearest_hit_cm(
         from pathtracerpython_tpu.ops.gather import cm_take
 
         d3u = normalize3(d3)
-        if use_sparse(accel, scene.num_padded_triangles):
+        if accel == "ranked":
+            from pathtracerpython_tpu.kernels.ranked_pallas import (
+                ranked_nearest_t_idx_cm,
+            )
+
+            t, idx = ranked_nearest_t_idx_cm(o3, d3u, scene)
+        elif use_sparse(accel, scene.num_padded_triangles):
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
         else:
             t, idx = nearest_t_idx_cm(o3, d3u, scene)
@@ -392,6 +398,12 @@ def any_hit_within_cm(
             use_sparse,
         )
 
+        if accel == "ranked":
+            from pathtracerpython_tpu.kernels.ranked_pallas import (
+                ranked_any_hit_cm,
+            )
+
+            return ranked_any_hit_cm(o3, d3_unit, max_dist, scene)
         if use_sparse(accel, scene.num_padded_triangles):
             return sparse_any_hit_cm(o3, d3_unit, max_dist, scene)
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)

@@ -21,10 +21,13 @@ class RenderConfig:
     """
 
     mode: str = "fast"
-    # Acceleration hierarchy (kernels/sparse_pallas.py): "auto" engages the
-    # cluster-sparse sweeps for large scenes (>= SPARSE_MIN_TRIS padded
-    # triangles) on the fast+pallas path; "sparse" forces them; "none"
-    # keeps the dense megakernels. Results are bit-identical either way.
+    # Acceleration hierarchy: "auto" engages the cluster-sparse sweeps
+    # (kernels/sparse_pallas.py) for large scenes (>= SPARSE_MIN_TRIS
+    # padded triangles) on the fast+pallas path; "sparse" forces them;
+    # "ranked" selects the per-ray ranked-round traversal
+    # (kernels/ranked_pallas.py — exact per-ray work, sort-per-round);
+    # "none" keeps the dense megakernels. Results are bit-identical
+    # across all of them.
     accel: str = "auto"
     # Whole-bounce fused megakernel (kernels/bounce_pallas.py): one Pallas
     # launch per bounce (nearest + NEE + shade + scatter) on the
@@ -69,7 +72,7 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
-        assert self.accel in ("auto", "sparse", "none"), self.accel
+        assert self.accel in ("auto", "sparse", "ranked", "none"), self.accel
         assert self.fused_bounce in ("auto", "on", "off"), self.fused_bounce
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.soft_vis_beta >= 0.0

@@ -152,6 +152,7 @@ def shade_nee(
             and cfg.geom_axis is None
             and scene.light_v0.shape[0] <= FUSED_NEE_MAX_LIGHT_TRIS
             and cfg.soft_vis_beta == 0.0
+            and cfg.accel != "ranked"  # its occlusion sweep is dense O(T)
             and not use_sparse(cfg.accel, scene.num_padded_triangles)):
         # (sparse-accel scenes skip the fused kernel: its occlusion sweep
         # is dense O(T) — the sparse any-hit below is the fast path there)

@@ -36,6 +36,8 @@ STEPS = [
      900),
     ("large_sparse_cascade",
      [sys.executable, BL, "--configs", "sparse:on"], 2400),
+    ("large_ranked",
+     [sys.executable, BL, "--configs", "ranked:off"], 2400),
     ("large_group2",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
     ("large_group4",
