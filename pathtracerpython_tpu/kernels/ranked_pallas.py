@@ -422,11 +422,15 @@ _ranked_nearest_entry.defvjp(_ranked_fwd, _ranked_bwd)
 
 def ranked_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int = KMAX,
-    rounds: int = ROUNDS, chunk_rb: int = CHUNK_RB,
+    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int | None = None,
+    rounds: int | None = None, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major ranked-round nearest hit; returns (t [N] — 0 on
-    miss, idx [N] — -1), equal to the dense kernel's result."""
+    miss, idx [N] — -1), equal to the dense kernel's result. ``kmax`` /
+    ``rounds`` default to the module knobs (read at call time so bench
+    scripts can tune them)."""
+    kmax = KMAX if kmax is None else kmax
+    rounds = ROUNDS if rounds is None else rounds
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
     o3p = _pad_repeat_last(o3, r_blk)
@@ -440,10 +444,12 @@ def ranked_nearest_t_idx_cm(
 
 def ranked_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int = KMAX,
-    rounds: int = ROUNDS, chunk_rb: int = CHUNK_RB,
+    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int | None = None,
+    rounds: int | None = None, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major ranked-round shadow occlusion (detached)."""
+    kmax = KMAX if kmax is None else kmax
+    rounds = ROUNDS if rounds is None else rounds
     sg = lax.stop_gradient
     n = o3.shape[1]
     o3s, d3s, mds = sg(o3), sg(d3_unit), sg(max_dist)

@@ -64,6 +64,14 @@ def main() -> None:
         help="enable nearest two-pass with this trunc_k (per-lane bound)",
     )
     p.add_argument(
+        "--ranked-rounds", type=int, default=None,
+        help="ranked-traversal rounds before the residue fallback",
+    )
+    p.add_argument(
+        "--ranked-kmax", type=int, default=None,
+        help="ranked-traversal per-ray candidate cap",
+    )
+    p.add_argument(
         "--platform", default=None,
         help="jax platform override (e.g. cpu — the axon sitecustomize "
         "pins the tunneled TPU, which hangs when the tunnel is down)",
@@ -74,7 +82,13 @@ def main() -> None:
 
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
+    from pathtracerpython_tpu.kernels import ranked_pallas as rk
+
     sp.GROUP = args.group
+    if args.ranked_rounds is not None:
+        rk.ROUNDS = args.ranked_rounds
+    if args.ranked_kmax is not None:
+        rk.KMAX = args.ranked_kmax
     if args.two_pass_nearest is not None:
         sp.TWO_PASS_NEAREST_AUTO = True
         sp.PASS1_K = args.two_pass_nearest
