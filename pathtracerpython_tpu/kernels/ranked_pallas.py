@@ -44,9 +44,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 from pathtracerpython_tpu.kernels.intersect_pallas import BIG
+from pathtracerpython_tpu.kernels import sparse_pallas as sp
 from pathtracerpython_tpu.kernels.sparse_pallas import (
     CHUNK_RB,
-    C_TRI,
     IMAX,
     R_BLK,
     SLAB_EPS,
@@ -203,12 +203,11 @@ def _launch_rounds(o3, d3, maxd, tripack, aabb8, cand, entry, count,
     """Shared ranked-round driver. Returns (best_t, best_idx, occ,
     unfinished) over the padded wavefront; for any-hit best_t/best_idx
     are unused and occ holds the occlusion bits."""
-    from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
     n = o3.shape[1]
     nrb = n // r_blk
     _check_limits(nrb, aabb8.shape[0] )
-    w_cap = min(nrb * W_PER_RB_RANKED, W_SMEM_ENTRIES)
+    w_cap = sp._cap_interp(min(nrb * W_PER_RB_RANKED, W_SMEM_ENTRIES))
 
     best_t = jnp.full((n,), BIG, o3.dtype)
     best_idx = jnp.full((n,), -1, jnp.int32)
@@ -261,7 +260,6 @@ def _round_launch_nearest(packed, ncand, og, dg, tripack, aabb8, c_tri,
     """One round's kernel launch on the sorted lanes (exact XLA sweep on
     work-list overflow — extremely rare: items per block are the block's
     distinct rank-r clusters)."""
-    from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
     n = og.shape[1]
 
@@ -299,7 +297,6 @@ def _round_launch_nearest(packed, ncand, og, dg, tripack, aabb8, c_tri,
 
 def _round_launch_any(packed, ncand, og, dg, mg, tripack, aabb8, c_tri,
                       r_blk, w_cap, overflow):
-    from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
     n = og.shape[1]
     mg_row = mg[None, :]
@@ -336,7 +333,6 @@ def _residue_nearest(o3, d3, tripack, need, best_t, best_idx, c_tri,
                      r_blk, chunk_rb, m_div: int = 2):
     """Exact cluster-sparse sweep on the compacted residue lanes (rays
     whose candidate list overflowed kmax or who outlived the rounds)."""
-    from pathtracerpython_tpu.kernels import sparse_pallas as sp
     from pathtracerpython_tpu.kernels.sparse_pallas import (
         MAXC,
         W_PER_RB,
@@ -422,13 +418,14 @@ _ranked_nearest_entry.defvjp(_ranked_fwd, _ranked_bwd)
 
 def ranked_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int | None = None,
+    c_tri: int | None = None, r_blk: int = R_BLK, kmax: int | None = None,
     rounds: int | None = None, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major ranked-round nearest hit; returns (t [N] — 0 on
     miss, idx [N] — -1), equal to the dense kernel's result. ``kmax`` /
     ``rounds`` default to the module knobs (read at call time so bench
     scripts can tune them)."""
+    c_tri = sp.C_TRI if c_tri is None else c_tri
     kmax = KMAX if kmax is None else kmax
     rounds = ROUNDS if rounds is None else rounds
     n = o3.shape[1]
@@ -444,10 +441,11 @@ def ranked_nearest_t_idx_cm(
 
 def ranked_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, kmax: int | None = None,
+    c_tri: int | None = None, r_blk: int = R_BLK, kmax: int | None = None,
     rounds: int | None = None, chunk_rb: int = CHUNK_RB,
 ):
     """Component-major ranked-round shadow occlusion (detached)."""
+    c_tri = sp.C_TRI if c_tri is None else c_tri
     kmax = KMAX if kmax is None else kmax
     rounds = ROUNDS if rounds is None else rounds
     sg = lax.stop_gradient

@@ -605,8 +605,20 @@ def _pad_repeat_last(x, mult):
     return jnp.concatenate([x, tail], axis=-1)
 
 
+# Interpret-mode (CPU test) work-list cap: the interpreter unrolls the
+# grid at trace time, so a 512-entry work list inside nested lax.conds
+# is a ~50k-op HLO per cascade variant — slow to compile and heavy
+# enough to stress the XLA CPU compiler. Real totals in the test scenes
+# are far below this cap; exceeding it just takes the exact fallback.
+W_INTERP_CAP = 256
+
+
+def _cap_interp(w: int) -> int:
+    return min(w, W_INTERP_CAP) if _interpret() else w
+
+
 def _w_cap(nrb: int, w_per_rb: int) -> int:
-    return min(nrb * w_per_rb, W_SMEM_ENTRIES)
+    return _cap_interp(min(nrb * w_per_rb, W_SMEM_ENTRIES))
 
 
 def _check_limits(nrb: int, n_clusters: int) -> None:
@@ -1028,9 +1040,9 @@ def _nearest_chunk(o3, d3, tripack, statics):
     tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
     use_group = group > 1 and not trunc_k
     if use_group:
-        w_cap = min(
+        w_cap = _cap_interp(min(
             nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
-        )
+        ))
         packs, ncand, overflow = grouped_worklist(
             aabb8, o3s, d3s, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
             group=group,
@@ -1125,9 +1137,9 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
     tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
     use_group = group > 1 and not trunc_k
     if use_group:
-        w_cap = min(
+        w_cap = _cap_interp(min(
             nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
-        )
+        ))
         packs, ncand, overflow = grouped_worklist(
             aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
             group=group,
@@ -1351,7 +1363,7 @@ def _resolve_two_pass(two_pass, n, default_on):
 
 def sparse_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
+    c_tri: int | None = None, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
     two_pass: int | None = None, m_div: int = M_DIV,
     group: int | None = None,
@@ -1363,6 +1375,7 @@ def sparse_nearest_t_idx_cm(
     ``two_pass``: pass-1 candidate clusters per block (None = auto:
     PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables).
     ``group``: candidate clusters per grid step (None = module GROUP)."""
+    c_tri = C_TRI if c_tri is None else c_tri
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
     statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
@@ -1385,12 +1398,13 @@ def sparse_nearest_t_idx_cm(
 
 def sparse_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
-    c_tri: int = C_TRI, r_blk: int = R_BLK, maxc: int = MAXC,
+    c_tri: int | None = None, r_blk: int = R_BLK, maxc: int = MAXC,
     w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
     two_pass: int | None = None, m_div: int = M_DIV,
     group: int | None = None,
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
+    c_tri = C_TRI if c_tri is None else c_tri
     n = o3.shape[1]
     sg = lax.stop_gradient
     tripack = sg(_pack_for_sparse(scene, c_tri))

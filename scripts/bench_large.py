@@ -56,6 +56,12 @@ def main() -> None:
         help="candidate clusters per sparse grid step (sparse_pallas.GROUP)",
     )
     p.add_argument(
+        "--c-tri", type=int, default=None,
+        help="cluster granularity (sparse_pallas.C_TRI); grouping "
+        "amortizes per-item overhead, so smaller clusters than the "
+        "single-item optimum (128) may win under --group > 1",
+    )
+    p.add_argument(
         "--two-pass", type=int, default=None,
         help="force two_pass trunc_k (default: module auto)",
     )
@@ -85,6 +91,8 @@ def main() -> None:
     from pathtracerpython_tpu.kernels import ranked_pallas as rk
 
     sp.GROUP = args.group
+    if args.c_tri is not None:
+        sp.C_TRI = args.c_tri
     if args.ranked_rounds is not None:
         rk.ROUNDS = args.ranked_rounds
     if args.ranked_kmax is not None:

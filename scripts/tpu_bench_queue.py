@@ -55,6 +55,16 @@ STEPS = [
     ("large_twopass_nearest4",
      [sys.executable, BL, "--configs", "sparse:on", "--two-pass-nearest",
       "4"], 2400),
+    ("large_group4_c64",  # grouping amortizes per-item overhead, which
+     #  is what made c64 lose standalone — retest small clusters grouped
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
+      "--c-tri", "64"], 2400),
+    ("large_group4_c32",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
+      "--c-tri", "32"], 2400),
+    ("large_group8_c32",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "8",
+      "--c-tri", "32"], 2400),
     ("large_dense_baseline",
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
     ("mxu_probe",

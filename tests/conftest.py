@@ -21,6 +21,24 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# The interpret-mode Pallas programs in the kernel test modules are the
+# largest compiles in the suite. After ~160 accumulated test compiles in
+# one process, XLA's CPU backend has died inside backend_compile_and_load
+# (SIGSEGV/SIGABRT at the same test, which passes standalone) — the
+# trigger is cumulative compiler/JIT state, not the test itself. Dropping
+# every cached executable before each heavy module keeps the per-process
+# high-water mark bounded.
+_HEAVY_MODULES = ("test_sparse", "test_ranked", "test_bounce_fused",
+                  "test_pallas", "test_large_scene")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state(request):
+    if request.module.__name__.rpartition(".")[2] in _HEAVY_MODULES:
+        jax.clear_caches()
+    yield
+
+
 REFERENCE_DIR = "/root/reference"
 CORNELL_SDL = os.path.join(REFERENCE_DIR, "objs", "cornellroom.sdl")
 
