@@ -72,7 +72,8 @@ def setup(argv=None) -> argparse.Namespace:
                         "leaves (fewer candidate clusters on bounce "
                         "wavefronts)")
     p.add_argument("--accel",
-                   choices=("auto", "sparse", "ranked", "none"),
+                   choices=("auto", "sparse", "ranked", "ranked-nee",
+                            "none"),
                    default="auto",
                    help="acceleration hierarchy: auto engages the cluster-"
                         "sparse sweeps for large scenes (bit-identical)")

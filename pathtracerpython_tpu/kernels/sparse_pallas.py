@@ -106,8 +106,10 @@ SPARSE_MIN_TRIS = 4096
 
 def use_sparse(accel: str, n_padded_tris: int) -> bool:
     """Dispatch rule shared by the geometry entry points and the NEE
-    fused-kernel gate (render/integrator.py)."""
-    if accel == "sparse":
+    fused-kernel gate (render/integrator.py). "ranked-nee" routes the
+    nearest hit through the sparse sweeps (its any-hit goes to the
+    ranked kernel in ops/geometry.any_hit_within_cm instead)."""
+    if accel in ("sparse", "ranked-nee"):
         return True
     return accel == "auto" and n_padded_tris >= SPARSE_MIN_TRIS
 

@@ -398,7 +398,7 @@ def any_hit_within_cm(
             use_sparse,
         )
 
-        if accel == "ranked":
+        if accel in ("ranked", "ranked-nee"):
             from pathtracerpython_tpu.kernels.ranked_pallas import (
                 ranked_any_hit_cm,
             )

@@ -26,6 +26,10 @@ class RenderConfig:
     # padded triangles) on the fast+pallas path; "sparse" forces them;
     # "ranked" selects the per-ray ranked-round traversal
     # (kernels/ranked_pallas.py — exact per-ray work, sort-per-round);
+    # "ranked-nee" mixes the two where each is strongest (ranked rounds
+    # for the NEE any-hit, whose per-lane occlusion finality terminates
+    # well; cluster-sparse sweeps for the nearest hit, whose ranked
+    # termination is weak on open scenes — docs/PERFORMANCE.md);
     # "none" keeps the dense megakernels. Results are bit-identical
     # across all of them.
     accel: str = "auto"
@@ -72,7 +76,9 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
-        assert self.accel in ("auto", "sparse", "ranked", "none"), self.accel
+        assert self.accel in (
+            "auto", "sparse", "ranked", "ranked-nee", "none",
+        ), self.accel
         assert self.fused_bounce in ("auto", "on", "off"), self.fused_bounce
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.soft_vis_beta >= 0.0

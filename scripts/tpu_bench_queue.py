@@ -38,6 +38,8 @@ STEPS = [
      [sys.executable, BL, "--configs", "sparse:on"], 2400),
     ("large_ranked",
      [sys.executable, BL, "--configs", "ranked:off"], 2400),
+    ("large_ranked_nee",  # mixed: sparse nearest + ranked NEE occlusion
+     [sys.executable, BL, "--configs", "ranked-nee:on"], 2400),
     ("large_group2",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
     ("large_group4",

@@ -130,6 +130,23 @@ def test_render_ranked_matches_dense(field_scene):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_render_ranked_nee_matches_dense(field_scene):
+    """Mixed dispatch: sparse nearest + ranked NEE occlusion (the
+    combination the CPU round studies predict — occlusion finality
+    terminates; the nearest hit stays on the sparse sweeps)."""
+    import dataclasses
+
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render
+
+    cfg_m = RenderConfig(mode="fast", backend="pallas", n_samples=1,
+                         n_bounces=2, accel="ranked-nee")
+    cfg_d = dataclasses.replace(cfg_m, accel="none", sort_rays="off")
+    a = np.asarray(render(field_scene, cfg_m, seed=3))
+    b = np.asarray(render(field_scene, cfg_d, seed=3))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_ranked_gradients_flow(field_scene):
     """jax.grad through the ranked path: the custom VJP re-solves the
     winner triangle, so vertex gradients must match the dense pallas
