@@ -40,6 +40,12 @@ STEPS = [
      [sys.executable, BL, "--configs", "ranked:off"], 2400),
     ("large_ranked_nee",  # mixed: sparse nearest + ranked NEE occlusion
      [sys.executable, BL, "--configs", "ranked-nee:on"], 2400),
+    ("large_ranked_nee_r3",  # fewer rounds -> residue sweep eats the tail
+     [sys.executable, BL, "--configs", "ranked-nee:on", "--ranked-rounds",
+      "3"], 2400),
+    ("large_ranked_nee_r10",  # more rounds -> smaller residue, more sorts
+     [sys.executable, BL, "--configs", "ranked-nee:on", "--ranked-rounds",
+      "10"], 2400),
     ("large_group2",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
     ("large_group4",
@@ -71,6 +77,8 @@ STEPS = [
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
     ("mxu_probe",
      [sys.executable, os.path.join(REPO, "scripts", "mxu_probe.py")], 1200),
+    ("grid_floor",  # all-parked wavefront: static-grid churn floor
+     [sys.executable, os.path.join(REPO, "scripts", "floor_cost.py")], 1200),
 ]
 
 
