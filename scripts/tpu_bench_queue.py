@@ -104,11 +104,29 @@ def main() -> None:
     p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r2.jsonl"))
     p.add_argument("--steps", default=None,
                    help="comma list of step names (default: all)")
+    p.add_argument("--skip-done", action="store_true",
+                   help="skip steps that already logged a RESULT line "
+                        "(resume after a mid-queue tunnel drop)")
     args = p.parse_args()
     wanted = set(args.steps.split(",")) if args.steps else None
 
+    done: set[str] = set()
+    if args.skip_done and os.path.exists(args.log):
+        with open(args.log) as f:
+            for line in f:
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                # a step counts as done only if it produced a real result
+                if "error" not in obj and "unparsed" not in obj and \
+                        obj.get("bench") not in (None, "queue"):
+                    done.add(obj["bench"])
+
     for name, argv, tmo in STEPS:
         if wanted and name not in wanted:
+            continue
+        if name in done:
             continue
         if not poll():
             log_line(args.log, {"bench": name, "error": "tpu down, abort"})
