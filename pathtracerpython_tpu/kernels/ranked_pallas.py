@@ -55,7 +55,6 @@ from pathtracerpython_tpu.kernels.sparse_pallas import (
     _CL_BITS,
     _SEG_BIT,
     _check_limits,
-    _list_positions,
     _pack_for_sparse,
     _pad_repeat_last,
     _scatter_packed,
@@ -76,24 +75,12 @@ def _per_ray_candidates_chunk(o3, d3, tmax, aabb8, kmax: int):
     (cand i32[n, kmax], entry f32[n, kmax] — BIG past the count,
     count i32[n] clamped to kmax, overflow bool[n])."""
     c = aabb8.shape[0]
-    blo = aabb8[:, 0:3]                       # [c, 3]
-    bhi = aabb8[:, 3:6]
     nonempty = aabb8[:, 0] <= aabb8[:, 3]
 
-    enter = None
-    exit_ = None
-    for k in range(3):
-        d_k = d3[k][:, None]                  # [n, 1]
-        safe_d = jnp.where(
-            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
-        )
-        inv = 1.0 / safe_d
-        lo = (blo[:, k][None, :] - o3[k][:, None]) * inv   # [n, c]
-        hi = (bhi[:, k][None, :] - o3[k][:, None]) * inv
-        tn = jnp.minimum(lo, hi)
-        tf = jnp.maximum(lo, hi)
-        enter = tn if enter is None else jnp.maximum(enter, tn)
-        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    enter, exit_ = sp._lane_slab_enter_exit(
+        o3[:, :, None], d3[:, :, None],            # [3, n, 1]
+        aabb8[:, 0:3].T[:, None, :], aabb8[:, 3:6].T[:, None, :],  # [3,1,c]
+    )                                              # -> [n, c]
     hit = (
         nonempty[None, :]
         & (exit_ >= jnp.maximum(enter, 0.0) - SLAB_EPS)
@@ -198,15 +185,20 @@ def _merge_nearest(best_t, best_idx, t_new, i_new):
 
 
 def _launch_rounds(o3, d3, maxd, tripack, aabb8, cand, entry, count,
-                   *, c_tri: int, r_blk: int, rounds: int, any_hit: bool,
-                   chunk_rb: int):
+                   *, c_tri: int, r_blk: int, rounds: int, any_hit: bool):
     """Shared ranked-round driver. Returns (best_t, best_idx, occ,
     unfinished) over the padded wavefront; for any-hit best_t/best_idx
     are unused and occ holds the occlusion bits."""
 
     n = o3.shape[1]
     nrb = n // r_blk
-    _check_limits(nrb, aabb8.shape[0] )
+    _check_limits(nrb, aabb8.shape[0])
+    # the round launches pass no sub-AABB operands; _sparse_grid_spec
+    # would expect them if sub-tile gating were ever re-enabled
+    assert sp._n_sub(c_tri) == 1, (
+        "ranked rounds do not support SUB_TILE gating (a measured "
+        "negative — sparse_pallas.py); set sparse_pallas.SUB_TILE = 0"
+    )
     w_cap = sp._cap_interp(min(nrb * W_PER_RB_RANKED, W_SMEM_ENTRIES))
 
     best_t = jnp.full((n,), BIG, o3.dtype)
@@ -363,10 +355,13 @@ def _residue_nearest(o3, d3, tripack, need, best_t, best_idx, c_tri,
         )
 
     def big(_):
+        # _sparse_nearest_entry pads to a CHUNK_RB*R_BLK multiple and
+        # returns the padded length — slice back to this wavefront's
+        # (r_blk-padded) length before merging.
         t2, i2 = run(o3, d3)
         return (
-            jnp.where(need, t2, best_t),
-            jnp.where(need, i2, best_idx),
+            jnp.where(need, t2[:n], best_t),
+            jnp.where(need, i2[:n], best_idx),
         )
 
     return lax.cond(cnt <= m, small, big, None)
@@ -388,7 +383,6 @@ def _ranked_nearest_entry(o3, d3, tripack, statics):
     best_t, best_idx, _, unfinished = _launch_rounds(
         o3, d3, None, tripack, aabb8, cand, entry, count,
         c_tri=c_tri, r_blk=r_blk, rounds=rounds, any_hit=False,
-        chunk_rb=chunk_rb,
     )
     need = over | unfinished
     return lax.cond(
@@ -429,6 +423,16 @@ def ranked_nearest_t_idx_cm(
     kmax = KMAX if kmax is None else kmax
     rounds = ROUNDS if rounds is None else rounds
     n = o3.shape[1]
+    if -(-n // r_blk) > (1 << sp._RB_BITS):
+        # The ranked rounds run the whole wavefront in one launch (the
+        # per-round sort must see every lane) and the packed work-item
+        # rb field holds 2^14 ray blocks. Wavefronts past that (~8.4M
+        # rays at r_blk=512) route to the chunked sparse sweeps — same
+        # bit-exact results.
+        return sparse_nearest_t_idx_cm(
+            o3, d3_unit, scene, c_tri=c_tri, r_blk=r_blk,
+            chunk_rb=chunk_rb,
+        )
     tripack = _pack_for_sparse(scene, c_tri)
     o3p = _pad_repeat_last(o3, r_blk)
     d3p = _pad_repeat_last(d3_unit, r_blk)
@@ -450,6 +454,12 @@ def ranked_any_hit_cm(
     rounds = ROUNDS if rounds is None else rounds
     sg = lax.stop_gradient
     n = o3.shape[1]
+    if -(-n // r_blk) > (1 << sp._RB_BITS):
+        # same single-launch rb-field bound as ranked_nearest_t_idx_cm
+        return sparse_any_hit_cm(
+            o3, d3_unit, max_dist, scene, c_tri=c_tri, r_blk=r_blk,
+            chunk_rb=chunk_rb,
+        )
     o3s, d3s, mds = sg(o3), sg(d3_unit), sg(max_dist)
     tripack = sg(_pack_for_sparse(scene, c_tri))
     aabb8 = cluster_aabbs(tripack, c_tri)
@@ -462,7 +472,6 @@ def ranked_any_hit_cm(
     _, _, occ, unfinished = _launch_rounds(
         o3p, d3p, mdp, tripack, aabb8, cand, entry, count,
         c_tri=c_tri, r_blk=r_blk, rounds=rounds, any_hit=True,
-        chunk_rb=chunk_rb,
     )
     need = (over | unfinished) & ~occ
 

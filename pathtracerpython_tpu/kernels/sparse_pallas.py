@@ -331,6 +331,30 @@ def candidate_worklist(
 LANE_M = 8
 
 
+def _lane_slab_enter_exit(o3, d3, blo, bhi):
+    """Exact per-lane slab interval. Inputs are per-axis stacks
+    broadcastable against each other past the leading 3-axis:
+    ``o3``/``d3`` [3, *ray-shape], ``blo``/``bhi`` [3, *box-shape].
+    Returns (enter, exit) of the broadcast shape. The 1e-12
+    safe-inverse clamp is the exactness contract shared by the ranked
+    candidate build and the per-lane finality bound — one copy only."""
+    enter = None
+    exit_ = None
+    for k in range(3):
+        d_k = d3[k]
+        safe_d = jnp.where(
+            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
+        )
+        inv = 1.0 / safe_d
+        lo = (blo[k] - o3[k]) * inv
+        hi = (bhi[k] - o3[k]) * inv
+        tn = jnp.minimum(lo, hi)
+        tf = jnp.maximum(lo, hi)
+        enter = tn if enter is None else jnp.maximum(enter, tn)
+        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    return enter, exit_
+
+
 def _lane_unseen_bound(o3p, d3p, aabb8, drops, r_blk):
     """Per-lane lower bound on the entry distance of every cluster the
     truncated pass-1 list dropped. [n]; BIG when nothing was dropped.
@@ -350,20 +374,9 @@ def _lane_unseen_bound(o3p, d3p, aabb8, drops, r_blk):
     # finite (top_k pads non-candidates with BIG keys)
     valid = drop_keys < BIG
 
-    enter = None
-    exit_ = None
-    for k in range(3):
-        d_k = d[k]
-        safe_d = jnp.where(
-            jnp.abs(d_k) < 1e-12, jnp.where(d_k >= 0, 1e-12, -1e-12), d_k
-        )
-        inv = 1.0 / safe_d                              # [nrb, 1, r_blk]
-        lo = (boxes[:, :, k][:, :, None] - o[k]) * inv  # [nrb, m, r_blk]
-        hi = (boxes[:, :, k + 3][:, :, None] - o[k]) * inv
-        tn = jnp.minimum(lo, hi)
-        tf = jnp.maximum(lo, hi)
-        enter = tn if enter is None else jnp.maximum(enter, tn)
-        exit_ = tf if exit_ is None else jnp.minimum(exit_, tf)
+    blo = jnp.moveaxis(boxes[:, :, 0:3], -1, 0)[..., None]  # [3, nrb, m, 1]
+    bhi = jnp.moveaxis(boxes[:, :, 3:6], -1, 0)[..., None]
+    enter, exit_ = _lane_slab_enter_exit(o, d, blo, bhi)  # [nrb, m, r_blk]
     hit = exit_ >= jnp.maximum(enter, 0.0) - SLAB_EPS
     lane_entry = jnp.where(
         hit & valid[:, :, None], jnp.maximum(enter, 0.0), BIG

@@ -190,20 +190,41 @@ def main() -> None:
     print(f"semantics: winner agree {100 * (1 - frac):.3f}%, "
           f"max t err {terr:.2e}", file=sys.stderr)
 
+    # axon-tunnel measurement pattern (bench.py): inputs pre-placed on
+    # device, REPS executions inside ONE jit via lax.scan with a varied
+    # input per rep (identical-value re-executions can be cache-served),
+    # a single scalar fetched, and the measured fetch RTT subtracted.
+    o3d, d3d = jax.device_put((o3, d3))
+    xs = jax.device_put(jnp.arange(6, dtype=jnp.int32))
+    fetch = jax.jit(lambda e: jnp.sum(e.astype(jnp.float32)))
+    float(fetch(xs[0]))
+    ovh = float("inf")
+    for i in range(1, 6):
+        t0 = time.perf_counter()
+        float(fetch(xs[i]))
+        ovh = min(ovh, time.perf_counter() - t0)
+
     def bench(fn, name):
-        fn(o3, d3)[0].block_until_ready()
         reps = args.reps
+
+        @jax.jit
+        def run(s, o_, d_):
+            def body(acc, k):
+                return acc + jnp.sum(fn(o_ + k * 1e-7, d_)[0]), None
+            return lax.scan(
+                body, 0.0, s + jnp.arange(reps, dtype=jnp.float32))[0]
+
+        float(run(jnp.float32(0.0), o3d, d3d))  # compile + warm
         best = float("inf")
-        for _ in range(3):
+        for i in (1, 2, 3):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                r = fn(o3, d3)
-            jax.block_until_ready(r)
-            best = min(best, (time.perf_counter() - t0) / reps)
-        gtest = N * T / best / 1e9
+            float(run(jnp.float32(i), o3d, d3d))
+            best = min(best, time.perf_counter() - t0)
+        per_call = max(best - ovh, 1e-9) / reps
+        gtest = N * T / per_call / 1e9
         print(json.dumps({
             "kernel": name, "gtest_per_s": round(gtest, 2),
-            "ms": round(best * 1e3, 3),
+            "ms": round(per_call * 1e3, 3),
             "platform": jax.default_backend(),
         }), flush=True)
         return gtest

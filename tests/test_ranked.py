@@ -130,6 +130,29 @@ def test_render_ranked_matches_dense(field_scene):
     np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
 
 
+def test_ranked_traces_past_one_chunk_nonaligned(field_scene):
+    """70000 rays: the r_blk-padded wavefront (70144) exceeds one
+    CHUNK_RB*R_BLK sparse chunk (65536) and is not a multiple of it, so
+    the residue fallback's whole-wavefront branch receives a sparse
+    result padded LONGER than the wavefront and must slice it back.
+    Regression: this crashed at trace time with an incompatible-shapes
+    broadcast (both lax.cond branches are always traced)."""
+    import jax
+
+    n = 70000
+    spec = jax.ShapeDtypeStruct((3, n), jnp.float32)
+    t, idx = jax.eval_shape(
+        lambda o, d: rk.ranked_nearest_t_idx_cm(o, d, field_scene),
+        spec, spec,
+    )
+    assert t.shape == idx.shape == (n,)
+    occ = jax.eval_shape(
+        lambda o, d, m: rk.ranked_any_hit_cm(o, d, m, field_scene),
+        spec, spec, jax.ShapeDtypeStruct((n,), jnp.float32),
+    )
+    assert occ.shape == (n,)
+
+
 def test_render_ranked_nee_matches_dense(field_scene):
     """Mixed dispatch: sparse nearest + ranked NEE occlusion (the
     combination the CPU round studies predict — occlusion finality

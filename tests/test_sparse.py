@@ -489,17 +489,10 @@ def test_lane_bound_is_conservative(field_scene):
     )  # [n, C]
 
     # which clusters were IN each block's pass-1 list
-    _, _, _, _, d2 = sp.candidate_worklist(
-        aabb8, o3p, d3p, tmax, r_blk=r_blk, maxc=sp.MAXC, w_cap=65536,
-        trunc_k=K,
+    enter_b, hit_b = sp._candidate_enter_hit(aabb8, o3p, d3p, tmax, r_blk)
+    key = np.asarray(
+        jnp.where(hit_b, jnp.maximum(enter_b, 0.0), sp.BIG)
     )
-    key = np.asarray(jnp.where(
-        sp._candidate_enter_hit(aabb8, o3p, d3p, tmax, r_blk)[1],
-        jnp.maximum(
-            sp._candidate_enter_hit(aabb8, o3p, d3p, tmax, r_blk)[0], 0.0
-        ),
-        sp.BIG,
-    ))
     order = np.argsort(key, axis=1, kind="stable")
     in_pass1 = np.zeros_like(key, dtype=bool)
     for b in range(nrb):
