@@ -96,7 +96,15 @@ def main(argv=None) -> int:
     p.add_argument("--out", default="/tmp/fit_albedo")
     p.add_argument("--no-emission", action="store_true")
     p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu — the axon "
+                        "sitecustomize pins the tunneled TPU, which hangs "
+                        "when the tunnel is down)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     run(
         scene_path=args.scene, steps=args.steps, lr=args.lr,
         out_dir=args.out, fit_emission=not args.no_emission,

@@ -191,7 +191,15 @@ def main(argv=None) -> int:
     p.add_argument("--soft-beta", type=float, default=0.05,
                    help="soft-visibility edge width (object mode)")
     p.add_argument("--out", default="/tmp/fit_pose")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (e.g. cpu — the axon "
+                        "sitecustomize pins the tunneled TPU, which hangs "
+                        "when the tunnel is down)")
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     run(
         scene_path=args.scene, object_name=args.object, steps=args.steps,
         lr=args.lr, out_dir=args.out, soft_beta=args.soft_beta,
