@@ -78,18 +78,18 @@ FUSED_BOUNCE_MAX_TRIS = T_BLK
 def fused_bounce_supported(scene, cfg) -> bool:
     """Gate shared with render/integrator.py. True when the whole-bounce
     megakernel covers this (scene, config) combination."""
-    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+    from pathtracerpython_tpu.kernels.sparse_pallas import resolve_accel
 
     return (
         cfg.mode == "fast"
         and cfg.backend == "pallas"
         and cfg.geom_axis is None
         and cfg.soft_vis_beta == 0.0
-        and cfg.accel != "ranked"  # explicit accel choice wins
         and cfg.sort_rays != "on"  # sorting parks dead lanes in separate
         #  sweep arrays the fused kernel does not consume (and only pays
-        #  on the sparse path, which is excluded below anyway)
-        and not use_sparse(cfg.accel, scene.num_padded_triangles)
+        #  on the accelerated paths, which are excluded below anyway)
+        # an explicit (or auto-resolved) hierarchy choice wins over fusion
+        and resolve_accel(cfg.accel, scene.num_padded_triangles) == "none"
         and scene.num_padded_triangles <= FUSED_BOUNCE_MAX_TRIS
         and scene.light_v0.shape[0] <= FUSED_NEE_MAX_LIGHT_TRIS
     )

@@ -104,14 +104,30 @@ _SEG_BIT = _ACT_BIT + 1               # 27
 SPARSE_MIN_TRIS = 4096
 
 
+# What accel="auto" selects for large scenes (>= SPARSE_MIN_TRIS padded
+# triangles). One line to flip when the TPU queue (BENCHLOG_r2) crowns a
+# winner among sparse / ranked / ranked-nee.
+AUTO_LARGE = "sparse"
+
+
+def resolve_accel(accel: str, n_padded_tris: int) -> str:
+    """Resolve the config's accel choice to a concrete hierarchy:
+    "none", "sparse", "ranked", or "ranked-nee". Shared by the geometry
+    entry points and the fused-kernel/sort gates so every dispatch
+    site agrees on what "auto" means."""
+    if accel == "auto":
+        return (
+            AUTO_LARGE if n_padded_tris >= SPARSE_MIN_TRIS else "none"
+        )
+    return accel
+
+
 def use_sparse(accel: str, n_padded_tris: int) -> bool:
-    """Dispatch rule shared by the geometry entry points and the NEE
-    fused-kernel gate (render/integrator.py). "ranked-nee" routes the
-    nearest hit through the sparse sweeps (its any-hit goes to the
-    ranked kernel in ops/geometry.any_hit_within_cm instead)."""
-    if accel in ("sparse", "ranked-nee"):
-        return True
-    return accel == "auto" and n_padded_tris >= SPARSE_MIN_TRIS
+    """True when the NEAREST hit runs the cluster-sparse sweeps.
+    "ranked-nee" routes the nearest hit through the sparse sweeps (its
+    any-hit goes to the ranked kernel in ops/geometry.any_hit_within_cm
+    instead)."""
+    return resolve_accel(accel, n_padded_tris) in ("sparse", "ranked-nee")
 
 
 # Sub-tile gating: within a visited cluster, Möller–Trumbore can run per

@@ -340,20 +340,21 @@ def nearest_hit_cm(
             nearest_t_idx_cm,
         )
         from pathtracerpython_tpu.kernels.sparse_pallas import (
+            resolve_accel,
             sparse_nearest_t_idx_cm,
-            use_sparse,
         )
 
         from pathtracerpython_tpu.ops.gather import cm_take
 
         d3u = normalize3(d3)
-        if accel == "ranked":
+        resolved = resolve_accel(accel, scene.num_padded_triangles)
+        if resolved == "ranked":
             from pathtracerpython_tpu.kernels.ranked_pallas import (
                 ranked_nearest_t_idx_cm,
             )
 
             t, idx = ranked_nearest_t_idx_cm(o3, d3u, scene)
-        elif use_sparse(accel, scene.num_padded_triangles):
+        elif resolved in ("sparse", "ranked-nee"):
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
         else:
             t, idx = nearest_t_idx_cm(o3, d3u, scene)
@@ -394,17 +395,18 @@ def any_hit_within_cm(
             any_hit_pallas_cm,
         )
         from pathtracerpython_tpu.kernels.sparse_pallas import (
+            resolve_accel,
             sparse_any_hit_cm,
-            use_sparse,
         )
 
-        if accel in ("ranked", "ranked-nee"):
+        resolved = resolve_accel(accel, scene.num_padded_triangles)
+        if resolved in ("ranked", "ranked-nee"):
             from pathtracerpython_tpu.kernels.ranked_pallas import (
                 ranked_any_hit_cm,
             )
 
             return ranked_any_hit_cm(o3, d3_unit, max_dist, scene)
-        if use_sparse(accel, scene.num_padded_triangles):
+        if resolved == "sparse":
             return sparse_any_hit_cm(o3, d3_unit, max_dist, scene)
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)
     return any_hit_within(

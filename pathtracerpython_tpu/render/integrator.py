@@ -142,7 +142,7 @@ def shade_nee(
     # scatter); reference mode uses the raw winding normal (parity)
     normal3 = hit.normal3 if shading_normal3 is None else shading_normal3
 
-    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+    from pathtracerpython_tpu.kernels.sparse_pallas import resolve_accel
 
     from pathtracerpython_tpu.kernels.nee_pallas import (
         FUSED_NEE_MAX_LIGHT_TRIS,
@@ -152,10 +152,11 @@ def shade_nee(
             and cfg.geom_axis is None
             and scene.light_v0.shape[0] <= FUSED_NEE_MAX_LIGHT_TRIS
             and cfg.soft_vis_beta == 0.0
-            and cfg.accel != "ranked"  # its occlusion sweep is dense O(T)
-            and not use_sparse(cfg.accel, scene.num_padded_triangles)):
-        # (sparse-accel scenes skip the fused kernel: its occlusion sweep
-        # is dense O(T) — the sparse any-hit below is the fast path there)
+            and resolve_accel(
+                cfg.accel, scene.num_padded_triangles) == "none"):
+        # (accelerated scenes skip the fused kernel: its occlusion sweep
+        # is dense O(T) — the sparse/ranked any-hit below is the fast
+        # path there)
         # fused megakernel: sampling + occlusion sweep + cosine mean in one
         # launch (same uniforms, same estimator; kernels/nee_pallas.py).
         # Gated on light-mesh size: the kernel unrolls the CDF pick and
