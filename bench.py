@@ -71,9 +71,15 @@ def main() -> None:
     bounces = 4
     nee = 3  # reference default n_light_samples (main.py:23)
 
-    # optional A/B knob (the driver runs bench.py with no args): compare
-    # the fused whole-bounce megakernel against the composed kernels
+    # optional A/B knobs (the driver runs bench.py with no args): compare
+    # the fused whole-bounce megakernel against the composed kernels, and
+    # the MXU Plücker in-triangle test against classic MT (dense sweeps
+    # only — pair with --fused-bounce=off so the composed kernels run)
     fused = "off" if "--fused-bounce=off" in sys.argv else "auto"
+    if "--mt-impl=plucker" in sys.argv:
+        from pathtracerpython_tpu.kernels import intersect_pallas as ip
+
+        ip.MT_IMPL = "plucker"
 
     scene = load_scene("/root/reference/objs/cornellroom.sdl", pad_to=32)
     scene = jax.device_put(scene)

@@ -70,6 +70,14 @@ ENABLE_CULL = True
 
 def _use_cull(t_count: int) -> bool:
     return ENABLE_CULL and t_count > T_BLK
+
+
+# In-triangle test implementation for the dense sweeps: "classic"
+# (Möller–Trumbore on the VPU, the bit-exactness family every other path
+# matches) or "plucker" (edge side tests as K=8 matmuls on the MXU —
+# see the Plücker section below; winner can differ on boundary-grazing
+# pairs by design). Trace-time knob, read when a sweep is built.
+MT_IMPL = "classic"
 DET_EPS = 1e-7
 T_MIN = 1e-4  # forward near-clip, matches ops.geometry.intersect_moller
 
@@ -217,27 +225,33 @@ def _nearest_init(t_out, idx_out):
         idx_out[:] = jnp.full_like(idx_out, -1)
 
 
+def _merge_nearest_tile(hit, t, j, t_out, idx_out):
+    """Fold one [T_blk, R] tile's (hit, t) into the running best, with
+    the first-minimum tie-break (smallest global index among optimal
+    lanes). Shared by the classic-MT and Plücker kernels. ``j`` is the
+    triangle-block program id, read at kernel top level (interpret mode
+    cannot evaluate program_id nested inside a pl.when branch)."""
+    key = jnp.where(hit, t, BIG)
+    tile_min = jnp.min(key, axis=0, keepdims=True)           # [1, R]
+
+    n_t = hit.shape[0]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) + j * n_t
+    imax = jnp.int32(2**31 - 1)
+    cand = jnp.where((key == tile_min) & hit, gidx, imax)
+    tile_idx = jnp.min(cand, axis=0, keepdims=True)          # [1, R]
+
+    better = (tile_min < t_out[:]) & (tile_idx != imax)
+    t_out[:] = jnp.where(better, tile_min, t_out[:])
+    idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+
+
 def _nearest_update(tri_ref, o_ref, d_ref, t_out, idx_out, run_pred):
     j = pl.program_id(1)
 
     @pl.when(run_pred)
     def _():
         hit, t = _mt_block(tri_ref, o_ref, d_ref)
-        key = jnp.where(hit, t, BIG)
-        tile_min = jnp.min(key, axis=0, keepdims=True)       # [1, R]
-
-        # first-minimum tie-break: smallest global index among optimal lanes
-        n_t = tri_ref.shape[0]
-        gidx = (
-            jax.lax.broadcasted_iota(jnp.int32, key.shape, 0) + j * n_t
-        )
-        imax = jnp.int32(2**31 - 1)
-        cand = jnp.where((key == tile_min) & hit, gidx, imax)
-        tile_idx = jnp.min(cand, axis=0, keepdims=True)      # [1, R]
-
-        better = (tile_min < t_out[:]) & (tile_idx != imax)
-        t_out[:] = jnp.where(better, tile_min, t_out[:])
-        idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+        _merge_nearest_tile(hit, t, j, t_out, idx_out)
 
 
 def _nearest_kernel_cull(tri_ref, aabb_ref, o_ref, d_ref, t_out, idx_out):
@@ -262,16 +276,22 @@ def _any_hit_init(occ_out):
         occ_out[:] = jnp.zeros_like(occ_out)
 
 
+def _merge_any_tile(hit, t, occluder, maxd_ref, occ_out):
+    """Fold one tile's occlusion into the running bits. Shared by the
+    classic-MT and Plücker kernels."""
+    blocking = hit & occluder & (t < maxd_ref[:] - T_MIN)
+    any_block = jnp.max(
+        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+    )
+    occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+
 def _any_hit_update(tri_ref, o_ref, d_ref, maxd_ref, occ_out, run_pred):
     @pl.when(run_pred)
     def _():
         hit, t = _mt_block(tri_ref, o_ref, d_ref)
         occluder = tri_ref[:, 10:11] > 0.5
-        blocking = hit & occluder & (t < maxd_ref[:] - T_MIN)
-        any_block = jnp.max(
-            jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
-        )
-        occ_out[:] = jnp.maximum(occ_out[:], any_block)
+        _merge_any_tile(hit, t, occluder, maxd_ref, occ_out)
 
 
 def _any_hit_kernel_cull(tri_ref, aabb_ref, o_ref, d_ref, maxd_ref, occ_out):
@@ -288,6 +308,135 @@ def _any_hit_kernel_plain(tri_ref, o_ref, d_ref, maxd_ref, occ_out):
     _any_hit_update(
         tri_ref, o_ref, d_ref, maxd_ref, occ_out, jnp.bool_(True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Plücker in-triangle test on the MXU (MT_IMPL = "plucker").
+#
+# The classic Möller–Trumbore tile is pure VPU work (~54 madds per
+# ray-triangle pair, measured 37% of VPU f32 peak). The Plücker
+# formulation computes the three edge side tests as K=8 matmuls
+# side_e = [E_dir | E_mom][T, 8] @ [o×d | d | 0 0][8, R] on the MXU
+# (idle in the classic kernel), leaving a short VPU epilogue: the
+# subtract-first plane t — t = n·(v0−o)/(n·d) with n = e1×e2
+# UNNORMALIZED, so the parallel rejection |n·d| > DET_EPS matches the
+# classic |det| test exactly (det = −d·n) — sign checks, and the same
+# min/tie-break merge. Winner selection agrees with classic MT except
+# on boundary-grazing pairs (different arithmetic → different ulps), so
+# this is NOT part of the bit-exactness family; it is a measured
+# go/no-go lever (scripts/mxu_probe.py prices the primitive, the bench
+# queue prices it end-to-end) and defaults off.
+
+
+def _plucker_packs(tripack):
+    """Derive the Plücker operands from the standard pack (XLA-side,
+    loop-invariant — hoisted out of any render scan): three [T, 8]
+    edge packs (dir | moment | pad2) and one [T, 12] plane pack
+    (n_unnormalized | v0 | valid | occluder | pad4)."""
+    v0, v1, v2 = tripack[:, 0:3], tripack[:, 3:6], tripack[:, 6:9]
+    t = tripack.shape[0]
+    zeros2 = jnp.zeros((t, 2), tripack.dtype)
+    epacks = [
+        jnp.concatenate([b - a, jnp.cross(a, b), zeros2], axis=1)
+        for a, b in ((v0, v1), (v1, v2), (v2, v0))
+    ]
+    n = jnp.cross(v1 - v0, v2 - v0)
+    nv = jnp.concatenate(
+        [n, v0, tripack[:, 9:11], jnp.zeros((t, 4), tripack.dtype)],
+        axis=1,
+    )
+    return epacks, nv
+
+
+def _plucker_block(e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref):
+    """(hit [T, R] incl. valid mask, t [T, R]) for one tile — the
+    Plücker analogue of ``_mt_block``."""
+    row = lambda ref, k: ref[k:k + 1, :]
+    ox, oy, oz = row(o_ref, 0), row(o_ref, 1), row(o_ref, 2)
+    dx, dy, dz = row(d_ref, 0), row(d_ref, 1), row(d_ref, 2)
+    # ray Plücker rows [8, R]: (o × d | d | 0 | 0)
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    p8 = jnp.concatenate(
+        [mx, my, mz, dx, dy, dz, jnp.zeros_like(dx), jnp.zeros_like(dx)],
+        axis=0,
+    )
+
+    def side(e_ref):
+        return jax.lax.dot_general(
+            e_ref[:, :], p8,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, R] on the MXU
+
+    s0, s1, s2 = side(e0_ref), side(e1_ref), side(e2_ref)
+    inside = ((s0 >= 0.0) & (s1 >= 0.0) & (s2 >= 0.0)) | (
+        (s0 <= 0.0) & (s1 <= 0.0) & (s2 <= 0.0)
+    )
+
+    col = lambda c: nv_ref[:, c:c + 1]            # [T, 1]
+    nx, ny, nz = col(0), col(1), col(2)
+    nd = nx * dx + ny * dy + nz * dz              # = −det of classic MT
+    not_par = jnp.abs(nd) > DET_EPS
+    t = (
+        nx * (col(3) - ox) + ny * (col(4) - oy) + nz * (col(5) - oz)
+    ) / jnp.where(not_par, nd, 1.0)
+    valid = col(6) > 0.5
+    return inside & not_par & (t > T_MIN) & valid, t
+
+
+def _nearest_kernel_plucker_plain(e0_ref, e1_ref, e2_ref, nv_ref,
+                                  o_ref, d_ref, t_out, idx_out):
+    _nearest_init(t_out, idx_out)
+    hit, t = _plucker_block(e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref)
+    _merge_nearest_tile(hit, t, pl.program_id(1), t_out, idx_out)
+
+
+def _nearest_kernel_plucker_cull(e0_ref, e1_ref, e2_ref, nv_ref, aabb_ref,
+                                 o_ref, d_ref, t_out, idx_out):
+    _nearest_init(t_out, idx_out)
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, t_out[:])
+    j = pl.program_id(1)
+
+    @pl.when(nonempty & jnp.any(aabb_hit))
+    def _():
+        hit, t = _plucker_block(
+            e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref
+        )
+        _merge_nearest_tile(hit, t, j, t_out, idx_out)
+
+
+def _any_hit_kernel_plucker_plain(e0_ref, e1_ref, e2_ref, nv_ref,
+                                  o_ref, d_ref, maxd_ref, occ_out):
+    _any_hit_init(occ_out)
+    hit, t = _plucker_block(e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref)
+    _merge_any_tile(hit, t, nv_ref[:, 7:8] > 0.5, maxd_ref, occ_out)
+
+
+def _any_hit_kernel_plucker_cull(e0_ref, e1_ref, e2_ref, nv_ref, aabb_ref,
+                                 o_ref, d_ref, maxd_ref, occ_out):
+    _any_hit_init(occ_out)
+    aabb_hit, nonempty = _aabb_cull(aabb_ref, o_ref, d_ref, maxd_ref[:])
+
+    @pl.when(nonempty & jnp.any(aabb_hit & (occ_out[:] < 0.5)))
+    def _():
+        hit, t = _plucker_block(
+            e0_ref, e1_ref, e2_ref, nv_ref, o_ref, d_ref
+        )
+        _merge_any_tile(hit, t, nv_ref[:, 7:8] > 0.5, maxd_ref, occ_out)
+
+
+def _plucker_specs(t: int):
+    """Block specs for the Plücker operands (grid dim 1 walks triangle
+    blocks, like the classic tri_spec)."""
+    e_spec = pl.BlockSpec(
+        (min(T_BLK, t), 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    nv_spec = pl.BlockSpec(
+        (min(T_BLK, t), 12), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+    )
+    return [e_spec, e_spec, e_spec, nv_spec]
 
 
 def _sweep_shapes(n, t):
@@ -317,14 +466,26 @@ def _nearest_t_idx(o3, d3, tripack):
     n = o3.shape[1]
     t = tripack.shape[0]
     grid, tri_spec, aabb_spec, ray_spec, out_spec = _sweep_shapes(n, t)
-    if _use_cull(t):
-        kernel = _nearest_kernel_cull
-        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec]
-        args = (tripack, _block_aabbs(tripack, min(T_BLK, t)), o3, d3)
+    plucker = MT_IMPL == "plucker"
+    if plucker:
+        epacks, nv = _plucker_packs(tripack)
+        tri_args, tri_specs = epacks + [nv], _plucker_specs(t)
     else:
-        kernel = _nearest_kernel_plain
-        in_specs = [tri_spec, ray_spec, ray_spec]
-        args = (tripack, o3, d3)
+        tri_args, tri_specs = [tripack], [tri_spec]
+    if _use_cull(t):
+        kernel = (
+            _nearest_kernel_plucker_cull if plucker else
+            _nearest_kernel_cull
+        )
+        in_specs = tri_specs + [aabb_spec, ray_spec, ray_spec]
+        args = (*tri_args, _block_aabbs(tripack, min(T_BLK, t)), o3, d3)
+    else:
+        kernel = (
+            _nearest_kernel_plucker_plain if plucker else
+            _nearest_kernel_plain
+        )
+        in_specs = tri_specs + [ray_spec, ray_spec]
+        args = (*tri_args, o3, d3)
     t_out, idx_out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -412,17 +573,29 @@ def _any_hit_call(tripack, o3, d3, maxd):
     maxd_spec = pl.BlockSpec(
         (1, _r_blk(t_count)), lambda i, j: (0, i), memory_space=pltpu.VMEM
     )
+    plucker = MT_IMPL == "plucker"
+    if plucker:
+        epacks, nv = _plucker_packs(tripack)
+        tri_args, tri_specs = epacks + [nv], _plucker_specs(t_count)
+    else:
+        tri_args, tri_specs = [tripack], [tri_spec]
     if _use_cull(t_count):
-        kernel = _any_hit_kernel_cull
-        in_specs = [tri_spec, aabb_spec, ray_spec, ray_spec, maxd_spec]
+        kernel = (
+            _any_hit_kernel_plucker_cull if plucker else
+            _any_hit_kernel_cull
+        )
+        in_specs = tri_specs + [aabb_spec, ray_spec, ray_spec, maxd_spec]
         args = (
-            tripack, _block_aabbs(tripack, min(T_BLK, t_count)), o3, d3,
+            *tri_args, _block_aabbs(tripack, min(T_BLK, t_count)), o3, d3,
             maxd,
         )
     else:
-        kernel = _any_hit_kernel_plain
-        in_specs = [tri_spec, ray_spec, ray_spec, maxd_spec]
-        args = (tripack, o3, d3, maxd)
+        kernel = (
+            _any_hit_kernel_plucker_plain if plucker else
+            _any_hit_kernel_plain
+        )
+        in_specs = tri_specs + [ray_spec, ray_spec, maxd_spec]
+        args = (*tri_args, o3, d3, maxd)
     occ = pl.pallas_call(
         kernel,
         grid=grid,

@@ -78,6 +78,12 @@ def main() -> None:
         help="ranked-traversal per-ray candidate cap",
     )
     p.add_argument(
+        "--mt-impl", default="classic", choices=["classic", "plucker"],
+        help="dense-sweep in-triangle test: classic MT on the VPU or "
+        "Plücker edge side tests as K=8 matmuls on the MXU (affects the "
+        "accel=none dense kernels only)",
+    )
+    p.add_argument(
         "--platform", default=None,
         help="jax platform override (e.g. cpu — the axon sitecustomize "
         "pins the tunneled TPU, which hangs when the tunnel is down)",
@@ -86,9 +92,11 @@ def main() -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from pathtracerpython_tpu.kernels import intersect_pallas as ip
+    from pathtracerpython_tpu.kernels import ranked_pallas as rk
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
-    from pathtracerpython_tpu.kernels import ranked_pallas as rk
+    ip.MT_IMPL = args.mt_impl
 
     sp.GROUP = args.group
     if args.c_tri is not None:

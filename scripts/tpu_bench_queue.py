@@ -75,6 +75,13 @@ STEPS = [
       "--c-tri", "32"], 2400),
     ("large_dense_baseline",
      [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
+    ("cornell_plucker",  # MXU Plücker side tests vs classic-MT VPU sweeps
+     #  (dense kernels only — fused off so the composed path runs)
+     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off",
+      "--mt-impl=plucker"], 900),
+    ("large_dense_plucker",  # same lever on the 100k-tri dense baseline
+     [sys.executable, BL, "--configs", "none:off", "--mt-impl", "plucker"],
+     3600),
     ("mxu_probe",
      [sys.executable, os.path.join(REPO, "scripts", "mxu_probe.py")], 1200),
     ("grid_floor",  # all-parked wavefront: static-grid churn floor
