@@ -138,9 +138,14 @@ def main() -> None:
         if not poll():
             log_line(args.log, {"bench": name, "error": "tpu down, abort"})
             return
+        env = dict(os.environ)
+        # Subprocess scripts live in scripts/, so Python puts scripts/ (not
+        # the repo root) on sys.path — the package import needs this.
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         try:
             r = subprocess.run(
                 argv, capture_output=True, text=True, timeout=tmo, cwd=REPO,
+                env=env,
             )
         except subprocess.TimeoutExpired:
             log_line(args.log, {"bench": name, "error": f"timeout {tmo}s"})
