@@ -71,12 +71,13 @@ def main() -> None:
     bounces = 4
     nee = 3  # reference default n_light_samples (main.py:23)
 
-    # optional A/B knobs (the driver runs bench.py with no args): compare
-    # the fused whole-bounce megakernel against the composed kernels, and
-    # the MXU Plücker in-triangle test against classic MT (dense sweeps
-    # only — pair with --fused-bounce=off so the composed kernels run)
-    fused = "off" if "--fused-bounce=off" in sys.argv else "auto"
-    if "--mt-impl=plucker" in sys.argv:
+    # Defaults = the chip-measured winner (BENCHLOG_r2 Cornell 4-bounce:
+    # composed kernels + MXU Plücker side tests 699.6M rays/s vs fused
+    # 666.5M / classic composed 667.0M). A/B knobs flip either lever:
+    # --fused-bounce=auto|off, --mt-impl=plucker|classic.
+    fused = "auto" if "--fused-bounce=auto" in sys.argv else "off"
+    mt_impl = "classic" if "--mt-impl=classic" in sys.argv else "plucker"
+    if on_tpu and mt_impl == "plucker":
         from pathtracerpython_tpu.kernels import intersect_pallas as ip
 
         ip.MT_IMPL = "plucker"

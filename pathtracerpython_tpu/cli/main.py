@@ -84,6 +84,12 @@ def setup(argv=None) -> argparse.Namespace:
                    default="auto",
                    help="whole-bounce megakernel for VMEM-resident scenes "
                         "(fast+pallas path; equivalent estimator)")
+    p.add_argument("--mt-impl", choices=("classic", "plucker"),
+                   default="classic",
+                   help="dense-sweep in-triangle test: classic MT on the "
+                        "VPU (bit-exactness family) or Plücker side tests "
+                        "on the MXU (~5%% faster on-chip; boundary-grazing "
+                        "winners may differ — kernels/intersect_pallas.py)")
     p.add_argument("--platform", choices=("default", "cpu", "tpu"),
                    default="default",
                    help="force a jax platform (the environment may pin one "
@@ -153,6 +159,11 @@ def main(argv=None) -> int:
         seed = (meta.seed if args.honor_sdl and meta.seed is not None else 0)
     tonemapping = meta.tonemapping if args.honor_sdl else None
     args.seed = seed
+
+    if args.mt_impl != "classic":
+        from pathtracerpython_tpu.kernels import intersect_pallas as ip
+
+        ip.MT_IMPL = args.mt_impl
 
     cfg = RenderConfig(
         mode=args.mode,

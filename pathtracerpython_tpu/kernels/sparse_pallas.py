@@ -677,7 +677,10 @@ def _check_limits(nrb: int, n_clusters: int) -> None:
 # back entry bounds, so termination coarsens from per-cluster to
 # per-group only. `group=1` keeps the original kernels.
 
-GROUP = 1  # default work-item group size (bench knob; >1 = grouped path)
+GROUP = 2  # default work-item group size (>1 = grouped path). Chip
+#            measurement (BENCHLOG_r2, 100k-tri field 512^2/2spp/3b):
+#            G=2 5.27 Mrays/s vs G=1 4.49 / G=4 5.24 — grouping amortizes
+#            the per-grid-step overhead that bounds the sparse sweeps.
 
 _VAL_BIT = _CL_BITS  # grouped follower words: [valid 1][cl 12]
 

@@ -50,6 +50,13 @@ STEPS = [
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
     ("large_group4",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "4"], 2400),
+    ("large_group2_twopass_off",  # the two measured winners composed:
+     #  grouping (5.27M vs 4.49M) + any-hit two-pass off (4.75M vs 4.49M)
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
+      "--two-pass", "0"], 2400),
+    ("large_group2_c64",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
+      "--c-tri", "64", "--two-pass", "0"], 2400),
     ("large_median",
      [sys.executable, BL, "--configs", "sparse:on", "--order", "median"],
      2400),
