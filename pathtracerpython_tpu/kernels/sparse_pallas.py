@@ -1016,7 +1016,13 @@ def _xla_any_hit(o3, d3, maxd, tripack):
 # re-tests everything its lanes could need.
 
 PASS1_K = 4        # pass-1 candidate clusters per block
-TWO_PASS_NEAREST_AUTO = False  # flip after --two-pass-nearest wins on TPU
+TWO_PASS_NEAREST_AUTO = False  # measured negative on the v5e (BENCHLOG_r2
+#                                large_twopass_nearest4: 4.35 vs 4.49M)
+TWO_PASS_ANY_AUTO = False  # measured negative on the v5e (BENCHLOG_r2:
+#                            any-hit two-pass OFF 4.75M / grouped 5.65M
+#                            vs ON 4.49M / grouped 5.27M rays/s — the
+#                            compaction launches cost more than the tail
+#                            they trim at these wavefront sizes)
 # Short-grid cascade: the sparse grid is STATIC (w_cap steps) while the
 # real item total is data-dependent (~5-8k of 65536 on the measured
 # 100k-box-field wavefronts), so most steps are inactive tail churn.
@@ -1446,7 +1452,7 @@ def sparse_any_hit_cm(
     max_dist = sg(max_dist)
     statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
                else group)
-    two_k = _resolve_two_pass(two_pass, n, default_on=True)
+    two_k = _resolve_two_pass(two_pass, n, default_on=TWO_PASS_ANY_AUTO)
 
     def run(o, d, md, trunc_k):
         return _map_ray_chunks(

@@ -52,7 +52,7 @@ def main() -> None:
         help="triangle buffer spatial ordering (cluster tightness)",
     )
     p.add_argument(
-        "--group", type=int, default=1,
+        "--group", type=int, default=None,
         help="candidate clusters per sparse grid step (sparse_pallas.GROUP)",
     )
     p.add_argument(
@@ -98,7 +98,8 @@ def main() -> None:
 
     ip.MT_IMPL = args.mt_impl
 
-    sp.GROUP = args.group
+    if args.group is not None:
+        sp.GROUP = args.group
     if args.c_tri is not None:
         sp.C_TRI = args.c_tri
     if args.ranked_rounds is not None:
@@ -110,6 +111,9 @@ def main() -> None:
         sp.PASS1_K = args.two_pass_nearest
     if args.two_pass is not None:
         sp.PASS1_K = args.two_pass
+        # any-hit auto now defaults OFF (TWO_PASS_ANY_AUTO, a measured
+        # negative); --two-pass K>0 forces it back ON for A/B reruns
+        sp.TWO_PASS_ANY_AUTO = args.two_pass > 0
         if args.two_pass == 0:
             sp.TWO_PASS_MIN = 2**62  # auto never engages
 
