@@ -77,6 +77,9 @@ def main() -> None:
     # --fused-bounce=auto|off, --mt-impl=plucker|classic.
     fused = "auto" if "--fused-bounce=auto" in sys.argv else "off"
     mt_impl = "classic" if "--mt-impl=classic" in sys.argv else "plucker"
+    if not on_tpu:
+        mt_impl = "classic"  # the CPU path runs the XLA sweeps — record
+        #                      the effective impl, not the nominal default
     if on_tpu and mt_impl == "plucker":
         from pathtracerpython_tpu.kernels import intersect_pallas as ip
 
@@ -112,12 +115,19 @@ def main() -> None:
     try:
         float(run(scene, origins, dirs, pixel_ids, run_ids[0]))  # warm
     except Exception as e:  # noqa: BLE001 — never lose the headline: a
-        # kernel-compile regression on the fused path must degrade to the
-        # composed-kernel measurement, not a missing BENCH number
-        print(f"fused path failed ({type(e).__name__}: {e}); "
-              "falling back to fused_bounce=off", file=sys.stderr)
+        # kernel regression on EITHER non-baseline lever (fused megakernel
+        # or the MXU Plücker sweeps) must degrade to the known-safe
+        # composed-classic measurement, not a missing BENCH number
+        print(f"primary config failed ({type(e).__name__}: {e}); "
+              "falling back to fused_bounce=off + mt_impl=classic",
+              file=sys.stderr)
         import dataclasses
 
+        if on_tpu:
+            from pathtracerpython_tpu.kernels import intersect_pallas as ip
+
+            ip.MT_IMPL = "classic"
+        mt_impl = "classic"
         cfg = dataclasses.replace(cfg, fused_bounce="off")
         run = make_run(cfg)
         float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
@@ -140,6 +150,10 @@ def main() -> None:
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / target, 4),
         "platform": jax.default_backend(),
+        # effective config, so logged numbers are self-describing across
+        # default flips (ADVICE r2): these reflect any fallback taken
+        "mt_impl": mt_impl,
+        "fused_bounce": cfg.fused_bounce,
     }))
 
 

@@ -182,6 +182,15 @@ def main() -> None:
                 round(rays_per_s / base, 2) if base else None
             ),
             "vs_50M_target": round(rays_per_s / 50e6, 3),
+            # effective module knobs (ADVICE r2: numbers must be
+            # self-describing across default flips)
+            "group": sp.GROUP,
+            "c_tri": sp.C_TRI,
+            "r_blk": sp.R_BLK,
+            "two_pass_any": sp.TWO_PASS_ANY_AUTO and sp.PASS1_K or 0,
+            "two_pass_nearest": sp.TWO_PASS_NEAREST_AUTO and sp.PASS1_K or 0,
+            "mt_impl": ip.MT_IMPL,
+            "order": args.order,
         }), flush=True)
 
 

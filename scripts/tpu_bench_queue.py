@@ -30,12 +30,19 @@ BL = os.path.join(REPO, "scripts", "bench_large.py")
 
 # (name, argv, timeout_s) — ordered by value; later steps are tuning.
 STEPS = [
-    ("cornell_fused", [sys.executable, os.path.join(REPO, "bench.py")], 900),
+    # fused A/B isolates ONE lever: both steps pin mt-impl=classic, and
+    # the fused step passes --fused-bounce=auto explicitly (bench.py's
+    # default flipped to off in round 2 — ADVICE r2)
+    ("cornell_fused",
+     [sys.executable, os.path.join(REPO, "bench.py"),
+      "--fused-bounce=auto", "--mt-impl=classic"], 900),
     ("cornell_unfused",
-     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off"],
+     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off",
+      "--mt-impl=classic"],
      900),
-    ("large_sparse_cascade",
-     [sys.executable, BL, "--configs", "sparse:on"], 2400),
+    ("large_sparse_cascade",  # --group 1 pinned: reproduces the logged
+     #  G=1 baseline (module GROUP default is now 2 — ADVICE r2)
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "1"], 2400),
     ("large_ranked",
      [sys.executable, BL, "--configs", "ranked:off"], 2400),
     ("large_ranked_nee",  # mixed: sparse nearest + ranked NEE occlusion
@@ -58,18 +65,20 @@ STEPS = [
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
       "--c-tri", "64", "--two-pass", "0"], 2400),
     ("large_median",
-     [sys.executable, BL, "--configs", "sparse:on", "--order", "median"],
+     [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
+      "--group", "1"],
      2400),
     ("large_median_group2",
      [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
       "--group", "2"], 2400),
     ("large_twopass_off",  # any-hit two-pass auto-engages at PASS1_K=4;
      #  the informative A/B is OFF (re-measure the cascade without it)
-     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "0"],
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "0",
+      "--group", "1"],
      2400),
     ("large_twopass_nearest4",
      [sys.executable, BL, "--configs", "sparse:on", "--two-pass-nearest",
-      "4"], 2400),
+      "4", "--group", "1"], 2400),
     ("large_group4_c64",  # grouping amortizes per-item overhead, which
      #  is what made c64 lose standalone — retest small clusters grouped
      [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
