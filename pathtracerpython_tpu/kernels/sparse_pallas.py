@@ -17,9 +17,13 @@ not beat, the reference's brute-force scan (``/root/reference/main.py:
   ``PrefetchScalarGridSpec`` lets the BlockSpec index maps read it from
   SMEM, so only candidate clusters are ever DMA'd. Each work item is
   PACKED into one int32 word — [seg 1][active 1][rb 14][cl 12] — because
-  the prefetch arrays live in SMEM, and the v5e worker hard-crashes once
-  a prefetch operand reaches ~512 KB (wavefronts are chunked at CHUNK_RB
-  ray blocks per launch to stay at 256 KB). In-kernel, a per-ray
+  the prefetch arrays live in SMEM, whose v5e capacity is 1.00 MiB
+  total (measured: a 1 MB operand fails to compile with a clean
+  "Ran out of memory in memory space smem"; 512 KB runs — the round-2
+  "worker hard-crash at ~512 KB" was the bench watchdog, see
+  docs/PERFORMANCE.md round-3 section). Wavefronts are chunked at
+  CHUNK_RB ray blocks per launch to bound the work list at 256 KB,
+  leaving headroom. In-kernel, a per-ray
   slab test against the cluster AABB skips the Möller–Trumbore tile
   unless some ray still needs it (``entry < best_t`` — front-to-back
   order makes this an early-termination test, the classic BVH benefit);
@@ -58,12 +62,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pathtracerpython_tpu.kernels import intersect_pallas as _ip
 from pathtracerpython_tpu.kernels.intersect_pallas import (
     BIG,
     _interpret,
     _mt_block,
     _nearest_bwd,
     _pad_dim,
+    _plucker_block,
+    _plucker_packs,
     pack_triangles,
 )
 from pathtracerpython_tpu.ops.geometry import intersect_moller
@@ -78,17 +85,21 @@ IMAX = 2**31 - 1
 # for a whole chunk. MAXC therefore defaults to the packed-field maximum
 # (= "keep every candidate"); overflow is a TOTAL-budget event only.
 C_TRI = 128
-R_BLK = 512       # rays per block (r256 crashes the v5e worker; r1024 is ~10% slower end-to-end)
+C_TRI_BASE = 128  # the granularity the W_PER_RB/CHUNK_RB budget was tuned at
+R_BLK = 512       # rays per block (r1024 is ~10% slower end-to-end; the
+#                   round-1/2 "r256 crashes" were the bench watchdog, see
+#                   docs/PERFORMANCE.md round-3 section)
 MAXC = 4096       # per-block candidate cap; 4096 = the cl-field limit,
 #                   i.e. no cap beyond _check_limits' cluster bound
 W_PER_RB = 512    # average work-list slots per ray block in a launch
 # Ray blocks per sparse LAUNCH. The packed work list is a scalar-prefetch
-# operand resident in SMEM for the whole launch; empirically the v5e
-# worker hard-crashes ("TPU worker process crashed") once that operand
-# reaches ~512 KB (131072 words), while <= 384 KB runs. Chunking the
-# wavefront at CHUNK_RB blocks bounds it at CHUNK_RB * W_PER_RB * 4 B
-# = 256 KB per launch — and makes candidate overflow LOCAL (one chunk
-# falls back to the XLA sweep, the rest stay on the sparse kernel).
+# operand resident in SMEM for the whole launch; v5e SMEM is 1.00 MiB
+# total and exceeding it is a clean compile error (measured round 3 —
+# the round-2 "hard-crash at ~512 KB" claim was the bench watchdog).
+# Chunking the wavefront at CHUNK_RB blocks bounds the list at
+# CHUNK_RB * W_PER_RB * 4 B = 256 KB per launch (headroom for the aabb
+# operands and grouped variants) — and makes candidate overflow LOCAL
+# (one chunk falls back to the XLA sweep, the rest stay sparse).
 CHUNK_RB = 128
 W_SMEM_ENTRIES = CHUNK_RB * W_PER_RB  # 65536 words = 256 KB
 SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
@@ -652,6 +663,20 @@ def _w_cap(nrb: int, w_per_rb: int) -> int:
     return _cap_interp(min(nrb * w_per_rb, W_SMEM_ENTRIES))
 
 
+def _scaled_budget(c_tri: int, w_per_rb: int, chunk_rb: int):
+    """Work-list budget scaled to the cluster granularity.
+
+    Halving ``c_tri`` roughly doubles every block's candidate-cluster
+    count, but the SMEM work list is a fixed byte budget — at the
+    C_TRI_BASE-tuned defaults a c64/c32 run overflows whole chunks onto
+    the O(T) XLA fallback (measured 37 s/render vs 1.1 s at c128, r3
+    queue). Trading blocks-per-launch for slots-per-block keeps the
+    per-block candidate capacity ∝ cluster count at the same SMEM bytes
+    per launch."""
+    f = max(1, C_TRI_BASE // c_tri)
+    return w_per_rb * f, max(8, chunk_rb // f)
+
+
 def _check_limits(nrb: int, n_clusters: int) -> None:
     assert n_clusters <= (1 << _CL_BITS), (
         f"{n_clusters} clusters exceed the packed work-item field; raise "
@@ -908,6 +933,180 @@ def _make_grouped_any_hit_kernel(group: int, c_tri: int):
 
 
 # ---------------------------------------------------------------------------
+# MXU Plücker sparse sweeps (MT_IMPL = "plucker", the trace-time knob in
+# kernels.intersect_pallas). Same work-list/early-termination machinery
+# as the classic grouped kernels; the per-tile in-triangle test runs as
+# K=8 edge side-test matmuls on the MXU (idle in the classic kernels)
+# with the subtract-first plane t on the VPU — ``_plucker_block``,
+# shared with the dense sweeps. NOT in the bit-exactness family:
+# boundary-grazing winners can differ from classic MT by design (same
+# contract as the dense plucker kernels, tests/test_plucker.py).
+# Engaged through the GROUPED path for any group >= 1 (the grouped
+# machinery subsumes the single-item kernel at group=1); the two-pass
+# (trunc_k) protocol stays classic.
+
+
+def _grouped_grid_spec_plucker(
+    w_cap, c_tri, r_blk, group, *, n_outs, n_extra_ray_ins=0,
+):
+    def cl_of(p, w):
+        return p[w] & ((1 << _CL_BITS) - 1)
+
+    def rb_of(p, w):
+        return (p[w] >> _CL_BITS) & ((1 << _RB_BITS) - 1)
+
+    pack_specs = []
+    for k in range(group):
+        im = (lambda k: lambda w, *ps: (cl_of(ps[k], w), 0))(k)
+        e_spec = pl.BlockSpec((c_tri, 8), im, memory_space=pltpu.VMEM)
+        nv_spec = pl.BlockSpec((c_tri, 12), im, memory_space=pltpu.VMEM)
+        pack_specs += [e_spec, e_spec, e_spec, nv_spec]
+    aabb_specs = [
+        pl.BlockSpec(
+            (1, 1, 8),
+            (lambda k: lambda w, *ps: (cl_of(ps[k], w), 0, 0))(k),
+            memory_space=pltpu.SMEM,
+        )
+        for k in range(group)
+    ]
+    ray_spec = pl.BlockSpec(
+        (3, r_blk), lambda w, *ps: (0, rb_of(ps[0], w)),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, r_blk), lambda w, *ps: (0, rb_of(ps[0], w)),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = pack_specs + aabb_specs + [ray_spec, ray_spec]
+    in_specs += [row_spec] * n_extra_ray_ins
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=group,
+        grid=(w_cap,),
+        in_specs=in_specs,
+        out_specs=[row_spec] * n_outs,
+    )
+
+
+def _grouped_header(prefs, aabbs, group, o_ref, d_ref, bound_row, w):
+    """Shared grouped-kernel prologue: decode every member's (cluster,
+    valid), slab-test its AABB, and union the ``needed`` predicate
+    against the per-lane bound (best-t or maxd). ``w`` is the grid step,
+    read at kernel top level (interpret mode cannot evaluate program_id
+    nested inside a pl.when branch)."""
+    o_rows = _ray_rows(o_ref)
+    inv_rows = _inv_rows(_ray_rows(d_ref))
+    cls, vals, needed = [], [], None
+    for k in range(group):
+        if k == 0:
+            cl_k, _, _, _ = _decode(prefs[0][w])
+            v_k = jnp.int32(1)
+        else:
+            cl_k, v_k = _decode_follower(prefs[k][w])
+        hit_k, enter_k = _slab_rows_inv(
+            [aabbs[k][0, 0, j] for j in range(6)], o_rows, inv_rows
+        )
+        need_k = (v_k == 1) & hit_k & (enter_k < bound_row + SLAB_EPS)
+        needed = need_k if needed is None else needed | need_k
+        cls.append(cl_k)
+        vals.append(v_k)
+    return cls, vals, needed
+
+
+def _make_grouped_nearest_kernel_plucker(group: int, c_tri: int):
+    def kernel(*refs):
+        prefs = refs[:group]
+        packs = refs[group:group + 4 * group]      # (e0, e1, e2, nv) per k
+        aabbs = refs[group + 4 * group:group + 5 * group]
+        o_ref, d_ref, t_out, idx_out = refs[group + 5 * group:]
+        w = pl.program_id(0)
+        _, _, active, seg = _decode(prefs[0][w])
+
+        @pl.when(seg == 1)
+        def _():
+            t_out[:] = jnp.full_like(t_out, BIG)
+            idx_out[:] = jnp.full_like(idx_out, -1)
+
+        @pl.when(active == 1)
+        def _():
+            cls, vals, needed = _grouped_header(
+                prefs, aabbs, group, o_ref, d_ref, t_out[:], w
+            )
+
+            @pl.when(jnp.any(needed))
+            def _():
+                for k in range(group):
+                    e0, e1, e2, nv = packs[4 * k:4 * k + 4]
+                    hit, t = _plucker_block(e0, e1, e2, nv, o_ref, d_ref)
+                    hit = hit & (vals[k] == 1)
+                    key = jnp.where(hit, t, BIG)
+                    tile_min = jnp.min(key, axis=0, keepdims=True)
+                    gidx = (
+                        jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+                        + cls[k] * c_tri
+                    )
+                    cand = jnp.where((key == tile_min) & hit, gidx, IMAX)
+                    tile_idx = jnp.min(cand, axis=0, keepdims=True)
+                    better = (tile_idx != IMAX) & (
+                        (tile_min < t_out[:])
+                        | ((tile_min == t_out[:]) & (tile_idx < idx_out[:]))
+                    )
+                    t_out[:] = jnp.where(better, tile_min, t_out[:])
+                    idx_out[:] = jnp.where(better, tile_idx, idx_out[:])
+
+    return kernel
+
+
+def _make_grouped_any_hit_kernel_plucker(group: int, c_tri: int):
+    def kernel(*refs):
+        prefs = refs[:group]
+        packs = refs[group:group + 4 * group]
+        aabbs = refs[group + 4 * group:group + 5 * group]
+        o_ref, d_ref, maxd_ref, occ_out = refs[group + 5 * group:]
+        w = pl.program_id(0)
+        _, _, active, seg = _decode(prefs[0][w])
+
+        @pl.when(seg == 1)
+        def _():
+            occ_out[:] = jnp.zeros_like(occ_out)
+
+        @pl.when(active == 1)
+        def _():
+            cls, vals, needed = _grouped_header(
+                prefs, aabbs, group, o_ref, d_ref, maxd_ref[:], w
+            )
+            needed = needed & (occ_out[:] < 0.5)
+
+            @pl.when(jnp.any(needed))
+            def _():
+                for k in range(group):
+                    e0, e1, e2, nv = packs[4 * k:4 * k + 4]
+                    hit, t = _plucker_block(e0, e1, e2, nv, o_ref, d_ref)
+                    hit = hit & (vals[k] == 1)
+                    occluder = nv[:, 7:8] > 0.5
+                    blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
+                    any_block = jnp.max(
+                        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+                    )
+                    occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+    return kernel
+
+
+def _sparse_plucker() -> bool:
+    """Trace-time gate: the sparse sweeps follow the dense kernels'
+    MT_IMPL knob (one lever for the whole pallas backend)."""
+    return _ip.MT_IMPL == "plucker"
+
+
+def _plucker_args(tps, group):
+    """Operand list for the plucker grouped kernels: (e0, e1, e2, nv)
+    repeated per group member (same arrays — the BlockSpec index maps
+    differ per member)."""
+    epacks, nv = _plucker_packs(tps)
+    return [a for _ in range(group) for a in (*epacks, nv)]
+
+
+# ---------------------------------------------------------------------------
 # Exact XLA fallback sweeps (fast to compile at any scene size; used when
 # the candidate list overflows its caps). Rays are chunked with an outer
 # scan: even a never-taken lax.cond branch is allocated statically, so the
@@ -1078,7 +1277,10 @@ def _nearest_chunk(o3, d3, tripack, statics):
     aabb8 = cluster_aabbs(tps, c_tri)
     subs = (cluster_sub_aabbs(tps, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.full((nrb,), BIG, o3.dtype)
-    use_group = group > 1 and not trunc_k
+    # plucker rides the grouped machinery at any group >= 1; the two-pass
+    # (trunc_k) protocol stays on the classic ungrouped kernel
+    plucker = _sparse_plucker()
+    use_group = (group > 1 or plucker) and not trunc_k
     if use_group:
         w_cap = _cap_interp(min(
             nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
@@ -1104,11 +1306,23 @@ def _nearest_chunk(o3, d3, tripack, statics):
         # item total fits, so tail churn scales with actual work
         def go(_):
             if use_group:
-                t_out, idx_out = pl.pallas_call(
-                    _make_grouped_nearest_kernel(group, c_tri),
-                    grid_spec=_grouped_grid_spec(
+                if plucker:
+                    kernel = _make_grouped_nearest_kernel_plucker(
+                        group, c_tri
+                    )
+                    gspec = _grouped_grid_spec_plucker(
                         cap, c_tri, r_blk, group, n_outs=2,
-                    ),
+                    )
+                    tri_args = _plucker_args(tps, group)
+                else:
+                    kernel = _make_grouped_nearest_kernel(group, c_tri)
+                    gspec = _grouped_grid_spec(
+                        cap, c_tri, r_blk, group, n_outs=2,
+                    )
+                    tri_args = [tps] * group
+                t_out, idx_out = pl.pallas_call(
+                    kernel,
+                    grid_spec=gspec,
                     out_shape=[
                         jax.ShapeDtypeStruct((1, n), o3.dtype),
                         jax.ShapeDtypeStruct((1, n), jnp.int32),
@@ -1122,7 +1336,7 @@ def _nearest_chunk(o3, d3, tripack, statics):
                     ),
                     interpret=_interpret(),
                 )(*[p[:cap] for p in packs],
-                  *([tps] * group), *([aabb8[:, None, :]] * group),
+                  *tri_args, *([aabb8[:, None, :]] * group),
                   o3s, d3s)
             else:
                 t_out, idx_out = pl.pallas_call(
@@ -1175,7 +1389,8 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
     aabb8 = cluster_aabbs(tripack, c_tri)
     subs = (cluster_sub_aabbs(tripack, c_tri),) if _n_sub(c_tri) > 1 else ()
     tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
-    use_group = group > 1 and not trunc_k
+    plucker = _sparse_plucker()
+    use_group = (group > 1 or plucker) and not trunc_k
     if use_group:
         w_cap = _cap_interp(min(
             nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
@@ -1199,12 +1414,25 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
     def launch(cap):
         def go(_):
             if use_group:
-                occ = pl.pallas_call(
-                    _make_grouped_any_hit_kernel(group, c_tri),
-                    grid_spec=_grouped_grid_spec(
+                if plucker:
+                    kernel = _make_grouped_any_hit_kernel_plucker(
+                        group, c_tri
+                    )
+                    gspec = _grouped_grid_spec_plucker(
                         cap, c_tri, r_blk, group, n_outs=1,
                         n_extra_ray_ins=1,
-                    ),
+                    )
+                    tri_args = _plucker_args(tripack, group)
+                else:
+                    kernel = _make_grouped_any_hit_kernel(group, c_tri)
+                    gspec = _grouped_grid_spec(
+                        cap, c_tri, r_blk, group, n_outs=1,
+                        n_extra_ray_ins=1,
+                    )
+                    tri_args = [tripack] * group
+                occ = pl.pallas_call(
+                    kernel,
+                    grid_spec=gspec,
                     out_shape=[jax.ShapeDtypeStruct((1, n), o3.dtype)],
                     cost_estimate=pl.CostEstimate(
                         flops=90 * cap * group * c_tri * r_blk,
@@ -1215,7 +1443,7 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
                     ),
                     interpret=_interpret(),
                 )(*[p[:cap] for p in packs],
-                  *([tripack] * group), *([aabb8[:, None, :]] * group),
+                  *tri_args, *([aabb8[:, None, :]] * group),
                   o3, d3, maxd_row)[0]
             else:
                 occ = pl.pallas_call(
@@ -1416,6 +1644,7 @@ def sparse_nearest_t_idx_cm(
     PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables).
     ``group``: candidate clusters per grid step (None = module GROUP)."""
     c_tri = C_TRI if c_tri is None else c_tri
+    w_per_rb, chunk_rb = _scaled_budget(c_tri, w_per_rb, chunk_rb)
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
     statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
@@ -1445,6 +1674,7 @@ def sparse_any_hit_cm(
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
     c_tri = C_TRI if c_tri is None else c_tri
+    w_per_rb, chunk_rb = _scaled_budget(c_tri, w_per_rb, chunk_rb)
     n = o3.shape[1]
     sg = lax.stop_gradient
     tripack = sg(_pack_for_sparse(scene, c_tri))

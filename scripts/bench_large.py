@@ -4,8 +4,10 @@ config for the acceleration hierarchy.
 
 Prints one JSON line per configuration (accel x sort), with rays/s and
 the speedup over the dense brute-force sweep. Same measurement discipline
-as bench.py (pre-committed inputs, per-rep RNG variation, scanned reps in
-one jit, fetch-overhead subtraction).
+as bench.py (pre-committed inputs, per-rep RNG variation, fetch-overhead
+subtraction) EXCEPT reps are separate executions, not a scan inside one
+jit: the axon worker kills single executions past ~40-110 s, which round
+2 misdiagnosed as kernel faults (docs/PERFORMANCE.md, round-3 section).
 
 Usage: python scripts/bench_large.py [--boxes 8333] [--size 512]
        [--spp 2] [--bounces 3] [--reps 3] [--configs accel:sort,...]
@@ -136,7 +138,9 @@ def main() -> None:
 
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
     pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
-    run_ids = jax.device_put(jnp.arange(8, dtype=jnp.uint32) * 1000)
+    run_ids = jax.device_put(
+        jnp.arange(max(args.reps, 2) + 1, dtype=jnp.uint32) * 1000
+    )
     jax.block_until_ready((origins, dirs, pixel_ids, run_ids))
     overhead = fetch_overhead_s()
     total_rays = w * h * args.spp * args.bounces * 4  # 1 + 3 NEE
@@ -151,12 +155,16 @@ def main() -> None:
             accel=accel, sort_rays=sort, batch_samples=True,
         )
 
+        # ONE render per XLA execution: the axon-tunneled worker kills any
+        # single execution past ~40-110 s ("TPU worker process crashed"),
+        # which is what round 2 misdiagnosed as kernel faults
+        # (docs/PERFORMANCE.md round-3 section). Amortization comes from
+        # ``reps`` separate timed calls with per-call fetch-overhead
+        # subtraction instead of a reps-long scan inside one jit.
         @jax.jit
         def run(sc, o, d, pids, rid):
-            def body(acc, i):
-                key = jax.random.fold_in(jax.random.PRNGKey(0), i + rid)
-                return acc + jnp.sum(render_rays(o, d, pids, sc, cfg, key)), None
-            return lax.scan(body, 0.0, jnp.arange(reps, dtype=jnp.uint32))[0]
+            key = jax.random.fold_in(jax.random.PRNGKey(0), rid)
+            return jnp.sum(render_rays(o, d, pids, sc, cfg, key))
 
         t0 = time.perf_counter()
         warm = float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
@@ -164,11 +172,11 @@ def main() -> None:
         assert warm == warm, f"NaN render sum ({pair})"
 
         best = float("inf")
-        for i in range(1, 3):
+        for i in range(1, 1 + max(reps, 2)):
             t0 = time.perf_counter()
             float(run(scene, origins, dirs, pixel_ids, run_ids[i]))
             best = min(best, time.perf_counter() - t0)
-        per_render = max(best - overhead, 1e-9) / reps
+        per_render = max(best - overhead, 1e-9)
         rays_per_s = total_rays / per_render
         if base is None:
             base = rays_per_s if accel == "none" else None

@@ -25,9 +25,20 @@ def main() -> None:
                    help="force the NEE any-hit onto the XLA fallback")
     p.add_argument("--nearest-xla", action="store_true",
                    help="force the nearest sweep onto the XLA fallback")
+    p.add_argument("--c-tri", type=int, default=None)
+    p.add_argument("--group", type=int, default=None)
+    p.add_argument("--boxes", type=int, default=8333)
+    p.add_argument("--bounce-range", default=None,
+                   help="lo:hi — run only bounces [lo, hi) by starting "
+                   "from a hi-bounce state (isolates which bounce faults)")
     args = p.parse_args()
 
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
+
+    if args.c_tri is not None:
+        sp.C_TRI = args.c_tri
+    if args.group is not None:
+        sp.GROUP = args.group
     from pathtracerpython_tpu.ops.camera import make_primary_rays
     from pathtracerpython_tpu.render.config import RenderConfig
     from pathtracerpython_tpu.render.integrator import render_rays
@@ -53,7 +64,8 @@ def main() -> None:
     print(f"platform: {jax.default_backend()}", file=sys.stderr)
     w = h = args.size
     scene = pack_scene(
-        box_field_scene(n_boxes=8333, width=w, height=h), morton_order=True
+        box_field_scene(n_boxes=args.boxes, width=w, height=h),
+        morton_order=True,
     )
     scene = jax.device_put(scene)
     cfg = RenderConfig(

@@ -142,3 +142,31 @@ def test_plucker_gradients_flow(cornell_scene, plucker):
     g = jax.grad(loss)(cornell_scene.tri_v0)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0.0
+
+
+def test_sparse_plucker_matches_dense_plucker(field_scene, plucker):
+    """The sparse grouped Plücker sweeps (sparse_pallas follows the
+    MT_IMPL knob through the grouped machinery) vs the dense plucker
+    kernel: same formulation, so the work-list/early-termination
+    machinery must not change a single bit."""
+    from pathtracerpython_tpu.kernels import sparse_pallas as sp
+
+    o3, d3 = _rays(field_scene, n=1500, seed=7)
+    t_d, i_d = map(np.asarray, ip.nearest_t_idx_cm(o3, d3, field_scene))
+    for g in (1, 2, 3):
+        t_s, i_s = map(np.asarray, sp.sparse_nearest_t_idx_cm(
+            o3, d3, field_scene, group=g
+        ))
+        np.testing.assert_array_equal(i_d, i_s)
+        np.testing.assert_array_equal(t_d, t_s)
+
+
+def test_sparse_plucker_any_hit(field_scene, plucker):
+    from pathtracerpython_tpu.kernels import sparse_pallas as sp
+
+    o3, d3 = _rays(field_scene, n=1024, seed=5)
+    maxd = jnp.full((o3.shape[1],), 6.0, jnp.float32)
+    occ_d = np.asarray(ip.any_hit_pallas_cm(o3, d3, maxd, field_scene))
+    occ_s = np.asarray(sp.sparse_any_hit_cm(o3, d3, maxd, field_scene))
+    np.testing.assert_array_equal(occ_d, occ_s)
+    assert occ_d.any()

@@ -507,3 +507,20 @@ def test_lane_bound_is_conservative(field_scene):
         min_unseen = lane_entry[lanes][:, unseen].min(axis=1)
         viol += int((min_unseen < bound[lanes] - 1e-3).sum())
     assert viol == 0, viol
+
+
+def test_scaled_budget_units():
+    """Smaller clusters get proportionally more slots per block at the
+    same SMEM bytes per launch (the c64 fallback-storm fix, r3)."""
+    assert sp._scaled_budget(128, 512, 128) == (512, 128)
+    assert sp._scaled_budget(64, 512, 128) == (1024, 64)
+    assert sp._scaled_budget(32, 512, 128) == (2048, 32)
+    assert sp._scaled_budget(256, 512, 128) == (512, 128)
+
+
+@pytest.mark.parametrize("c_tri", [32, 64, 256])
+def test_cluster_granularity_bitmatch(field_scene, c_tri):
+    """Non-default cluster sizes (now budget-scaled) stay bit-identical
+    to the dense sweep."""
+    o3, d3 = _random_rays(700, seed=9)
+    assert_nearest_matches(field_scene, o3, d3, c_tri=c_tri)
