@@ -60,6 +60,12 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     print(f"bench platform: {jax.default_backend()}", file=sys.stderr)
 
+    from pathtracerpython_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # reruns skip the 25-70 s sparse compiles
+
     from pathtracerpython_tpu.ops.camera import make_primary_rays
     from pathtracerpython_tpu.render.config import RenderConfig
     from pathtracerpython_tpu.render.integrator import render_rays

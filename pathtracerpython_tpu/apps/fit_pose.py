@@ -12,15 +12,23 @@ Two modes:
   ill-conditioned (cosine-only signal) — free y drifts instead of
   converging.
 
-- ``--object <name>`` (e.g. ``cube``): translate a scene object. For
-  axis-aligned opaque geometry the interior derivative is degenerate —
-  in-plane translation doesn't move any face's plane, so the true
-  gradient lives entirely in silhouette/occlusion boundary terms. This
-  mode therefore runs the SOFT estimator (``RenderConfig.soft_vis_beta``,
-  diff/boundary.py): silhouettes blend over the surface behind them and
-  shadows use smooth edge coverage, giving FD-validated boundary
-  gradients (tests/test_boundary.py), and the fit recovers the cube's
-  pose.
+- ``--object <name>`` (e.g. ``cube``): recover a PLANAR 3-dof rigid
+  pose — (x, z) translation + yaw about the object's centroid — of a
+  scene object standing on the floor. Vertical position is excluded for
+  the same reason light mode is lateral-only: the reference estimator
+  has no inverse-square falloff, so y carries almost no signal and
+  drifts instead of converging.
+  For axis-aligned opaque geometry the interior derivative is
+  degenerate — in-plane translation doesn't move any face's plane, so
+  the true gradient lives entirely in silhouette/occlusion boundary
+  terms. This mode therefore runs the SOFT estimator
+  (``RenderConfig.soft_vis_beta``, diff/boundary.py): silhouettes blend
+  over the surface behind them and shadows use smooth edge coverage,
+  giving FD-validated boundary gradients (tests/test_boundary.py), and
+  the fit recovers the cube's pose. The edge width is ANNEALED over
+  ``--beta-stages`` stages from ``--soft-beta-start`` down to
+  ``--soft-beta`` (wide basin first, sharp localization last); beta is
+  a trace-time constant, so each stage re-jits — cheap at fit sizes.
 
 Run: python -m pathtracerpython_tpu.apps.fit_pose [--steps N]
      python -m pathtracerpython_tpu.apps.fit_pose --object cube
@@ -29,7 +37,6 @@ Run: python -m pathtracerpython_tpu.apps.fit_pose [--steps N]
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
 
@@ -48,17 +55,11 @@ def find_object_index(scene_path: str, name_fragment: str) -> int:
 
 
 def translate_object(scene, obj_index: int, offset):
-    """Shift every triangle of material row ``obj_index`` by ``offset``."""
-    import jax.numpy as jnp
+    """Shift every triangle of material row ``obj_index`` by ``offset``
+    (kept as a thin alias — the transform lives in diff.transforms)."""
+    from pathtracerpython_tpu.diff.transforms import translate_object as t
 
-    mask = (scene.tri_material == obj_index) & scene.tri_valid
-    shift = jnp.where(mask[:, None], 1.0, 0.0) * offset[None, :]
-    return dataclasses.replace(
-        scene,
-        tri_v0=scene.tri_v0 + shift,
-        tri_v1=scene.tri_v1 + shift,
-        tri_v2=scene.tri_v2 + shift,
-    )
+    return t(scene, obj_index, offset)
 
 
 def translate_light(scene, offset):
@@ -78,13 +79,16 @@ def run(
     scene_path: str = "/root/reference/objs/cornellroom.sdl",
     object_name: str | None = None,  # None = light mode
     init_offset=(0.4, 0.0, 0.3),
+    init_angle: float = 0.25,  # radians of yaw, object mode only
     steps: int = 120,
     lr: float = 0.05,
     out_dir: str = "/tmp/fit_pose",
     seed: int = 0,
     spp: int = 1,
     bounces: int = 1,
-    soft_beta: float = 0.05,
+    soft_beta: float = 0.03,
+    soft_beta_start: float | None = None,
+    beta_stages: int = 4,
     log=print,
 ) -> dict:
     import jax
@@ -100,68 +104,103 @@ def run(
 
     os.makedirs(out_dir, exist_ok=True)
     scene = load_scene(scene_path)
-    # object mode needs boundary gradients -> soft estimator; light mode
-    # keeps the hard estimator (the light enters the NEE math smoothly)
-    cfg = RenderConfig(
-        mode="fast", n_samples=spp, n_bounces=bounces,
-        soft_vis_beta=soft_beta if object_name is not None else 0.0,
-    )
 
+    def make_cfg(beta):
+        # object mode needs boundary gradients -> soft estimator; light
+        # mode keeps the hard estimator (the light enters the NEE math
+        # smoothly)
+        return RenderConfig(
+            mode="fast", n_samples=spp, n_bounces=bounces,
+            soft_vis_beta=beta if object_name is not None else 0.0,
+        )
+
+    lateral_only = object_name is None
     if object_name is None:
-        move = translate_light
+        move = lambda sc, off, ang: translate_light(sc, off)
         what = "light"
+        betas = [soft_beta] * 1
+        params = jnp.asarray(init_offset, jnp.float32)[jnp.asarray([0, 2])]
     else:
+        from pathtracerpython_tpu.diff.transforms import transform_object
+
         obj_index = find_object_index(scene_path, object_name)
-        move = lambda sc, off: translate_object(sc, obj_index, off)
+        move = lambda sc, off, ang: transform_object(sc, obj_index, off, ang)
         what = f"object {object_name} (#{obj_index})"
+        # annealing schedule: geometric from start (wide basin) to final
+        # (sharp localization); beta is a trace-time constant, so each
+        # stage is its own jitted step function
+        # 4x final beta: measured on the default cube fit (0.5-unit +
+        # 0.2-rad perturbation) — a 2x start leaves the first stage's
+        # basin too narrow and the fit stalls at ~0.2 offset error
+        start = (4.0 * soft_beta if soft_beta_start is None
+                 else soft_beta_start)
+        k = max(int(beta_stages), 1)
+        betas = [
+            float(start * (soft_beta / start) ** (i / max(k - 1, 1)))
+            for i in range(k)
+        ] if k > 1 else [soft_beta]
+        io = jnp.asarray(init_offset, jnp.float32)
+        params = jnp.asarray(
+            [io[0], io[2], init_angle], jnp.float32
+        )  # planar pose: (dx, dz, yaw)
 
-    target = render(scene, cfg, seed=seed)
+    def to_pose(params):
+        if lateral_only:
+            return jnp.asarray([params[0], 0.0, params[1]], jnp.float32), 0.0
+        return (
+            jnp.asarray([params[0], 0.0, params[1]], jnp.float32),
+            params[2],
+        )
+
     w, h = scene.meta.width, scene.meta.height
-    save_png(
-        radiance_to_image(target, w, h), os.path.join(out_dir, "target.png")
-    )
-
     origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
     pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
     # fixed RNG: the loss is a deterministic, piecewise-smooth function of
-    # the offset, so plain gradient descent applies
+    # the pose, so plain gradient descent applies
     key = jax.random.PRNGKey(seed)
 
-    lateral_only = object_name is None
-
-    def to_offset(params):
-        if lateral_only:
-            return jnp.asarray(
-                [params[0], 0.0, params[1]], jnp.float32
-            )
-        return params
-
-    def loss_fn(params):
-        radiance = render_rays(
-            origins, dirs, pixel_ids, move(scene, to_offset(params)), cfg,
-            key,
-        )
-        return 0.5 * jnp.mean((radiance - target) ** 2)
-
-    init = jnp.asarray(init_offset, jnp.float32)
-    params = init[jnp.asarray([0, 2])] if lateral_only else init
     opt = optax.adam(lr)
     opt_state = opt.init(params)
-
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
     losses = []
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(float(loss))
-    offset = to_offset(params)
+    stage_steps = [steps // len(betas)] * len(betas)
+    stage_steps[-1] += steps - sum(stage_steps)
 
+    final_cfg = make_cfg(betas[-1])
+    target_final = render(scene, final_cfg, seed=seed)
     save_png(
-        radiance_to_image(render(move(scene, offset), cfg, seed=seed), w, h),
+        radiance_to_image(target_final, w, h),
+        os.path.join(out_dir, "target.png"),
+    )
+
+    for beta, n_steps in zip(betas, stage_steps):
+        cfg = make_cfg(beta)
+        # the target is re-rendered at each stage's beta so the optimum
+        # stays exactly at zero pose error throughout the anneal
+        target = (target_final if beta == betas[-1]
+                  else render(scene, cfg, seed=seed))
+
+        def loss_fn(params, cfg=cfg, target=target):
+            off, ang = to_pose(params)
+            radiance = render_rays(
+                origins, dirs, pixel_ids, move(scene, off, ang), cfg, key,
+            )
+            return 0.5 * jnp.mean((radiance - target) ** 2)
+
+        @jax.jit
+        def step(params, opt_state, loss_fn=loss_fn):
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(n_steps):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+
+    offset, angle = to_pose(params)
+    save_png(
+        radiance_to_image(
+            render(move(scene, offset, angle), final_cfg, seed=seed), w, h
+        ),
         os.path.join(out_dir, "fitted.png"),
     )
 
@@ -172,6 +211,9 @@ def run(
         "init_offset_norm": float(np.linalg.norm(np.asarray(init_offset))),
         "final_offset_norm": float(jnp.linalg.norm(offset)),
         "final_offset": [float(x) for x in offset],
+        "init_angle": float(init_angle) if not lateral_only else 0.0,
+        "final_angle": float(angle) if not lateral_only else 0.0,
+        "betas": betas,
         "out_dir": out_dir,
     }
     log(json.dumps(result))
@@ -188,8 +230,17 @@ def main(argv=None) -> int:
                         "(runs the soft estimator for boundary gradients)")
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--lr", type=float, default=0.05)
-    p.add_argument("--soft-beta", type=float, default=0.05,
-                   help="soft-visibility edge width (object mode)")
+    p.add_argument("--init-angle", type=float, default=0.25,
+                   help="initial yaw error in radians (object mode)")
+    p.add_argument("--soft-beta", type=float, default=0.03,
+                   help="FINAL soft-visibility edge width (object mode)")
+    p.add_argument("--soft-beta-start", type=float, default=None,
+                   help="anneal start width (default 2x --soft-beta)")
+    p.add_argument("--beta-stages", type=int, default=4,
+                   help="annealing stages (1 = constant beta)")
+    p.add_argument("--lr-object", type=float, default=0.03,
+                   help="learning rate used in object mode (the pose "
+                        "anneal is tuned at 0.03; --lr covers light mode)")
     p.add_argument("--out", default="/tmp/fit_pose")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu — the axon "
@@ -202,7 +253,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     run(
         scene_path=args.scene, object_name=args.object, steps=args.steps,
-        lr=args.lr, out_dir=args.out, soft_beta=args.soft_beta,
+        lr=args.lr_object if args.object else args.lr,
+        out_dir=args.out, soft_beta=args.soft_beta,
+        soft_beta_start=args.soft_beta_start, beta_stages=args.beta_stages,
+        init_angle=args.init_angle,
     )
     return 0
 

@@ -72,8 +72,7 @@ def setup(argv=None) -> argparse.Namespace:
                         "leaves (fewer candidate clusters on bounce "
                         "wavefronts)")
     p.add_argument("--accel",
-                   choices=("auto", "sparse", "ranked", "ranked-nee",
-                            "none"),
+                   choices=("auto", "sparse", "none"),
                    default="auto",
                    help="acceleration hierarchy: auto engages the cluster-"
                         "sparse sweeps for large scenes (bit-identical)")
@@ -94,6 +93,10 @@ def setup(argv=None) -> argparse.Namespace:
                    default="default",
                    help="force a jax platform (the environment may pin one "
                         "that plain JAX_PLATFORMS can't override)")
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache "
+                        "(utils/compile_cache.py; on by default — second "
+                        "renders of a scene shape skip compilation)")
     p.add_argument("--metrics", action="store_true",
                    help="print a JSON metrics summary (timings, rays/s)")
     p.add_argument("--quiet", action="store_true")
@@ -107,6 +110,13 @@ def main(argv=None) -> int:
 
     if args.platform != "default":
         jax.config.update("jax_platforms", args.platform)
+
+    if not args.no_compile_cache:
+        from pathtracerpython_tpu.utils.compile_cache import (
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache()
 
     try:
         jax.devices()

@@ -116,16 +116,18 @@ SPARSE_MIN_TRIS = 4096
 
 
 # What accel="auto" selects for large scenes (>= SPARSE_MIN_TRIS padded
-# triangles). One line to flip when the TPU queue (BENCHLOG_r2) crowns a
-# winner among sparse / ranked / ranked-nee.
+# triangles). The round-2/3 queue crowned the cluster-sparse sweeps; the
+# measured-negative alternatives (ranked traversal: 0.92M rays/s and
+# excised in r3, git history @ df91c32^; walker: kernels/walker_pallas)
+# are documented in docs/PERFORMANCE.md.
 AUTO_LARGE = "sparse"
 
 
 def resolve_accel(accel: str, n_padded_tris: int) -> str:
     """Resolve the config's accel choice to a concrete hierarchy:
-    "none", "sparse", "ranked", or "ranked-nee". Shared by the geometry
-    entry points and the fused-kernel/sort gates so every dispatch
-    site agrees on what "auto" means."""
+    "none" or "sparse". Shared by the geometry entry points and the
+    fused-kernel/sort gates so every dispatch site agrees on what
+    "auto" means."""
     if accel == "auto":
         return (
             AUTO_LARGE if n_padded_tris >= SPARSE_MIN_TRIS else "none"
@@ -134,11 +136,8 @@ def resolve_accel(accel: str, n_padded_tris: int) -> str:
 
 
 def use_sparse(accel: str, n_padded_tris: int) -> bool:
-    """True when the NEAREST hit runs the cluster-sparse sweeps.
-    "ranked-nee" routes the nearest hit through the sparse sweeps (its
-    any-hit goes to the ranked kernel in ops/geometry.any_hit_within_cm
-    instead)."""
-    return resolve_accel(accel, n_padded_tris) in ("sparse", "ranked-nee")
+    """True when the sweeps run the cluster-sparse hierarchy."""
+    return resolve_accel(accel, n_padded_tris) == "sparse"
 
 
 # Sub-tile gating: within a visited cluster, Möller–Trumbore can run per
@@ -1631,8 +1630,9 @@ def _resolve_two_pass(two_pass, n, default_on):
 
 def sparse_nearest_t_idx_cm(
     o3, d3_unit, scene, *,
-    c_tri: int | None = None, r_blk: int = R_BLK, maxc: int = MAXC,
-    w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
+    c_tri: int | None = None, r_blk: int | None = None,
+    maxc: int = MAXC,
+    w_per_rb: int | None = None, chunk_rb: int | None = None,
     two_pass: int | None = None, m_div: int = M_DIV,
     group: int | None = None,
 ):
@@ -1642,8 +1642,13 @@ def sparse_nearest_t_idx_cm(
 
     ``two_pass``: pass-1 candidate clusters per block (None = auto:
     PASS1_K for wavefronts >= TWO_PASS_MIN rays; 0 disables).
-    ``group``: candidate clusters per grid step (None = module GROUP)."""
+    ``group``: candidate clusters per grid step (None = module GROUP).
+    None for c_tri/r_blk/w_per_rb/chunk_rb/group = the module knobs,
+    read at trace time (so benches can sweep them)."""
     c_tri = C_TRI if c_tri is None else c_tri
+    r_blk = R_BLK if r_blk is None else r_blk
+    w_per_rb = W_PER_RB if w_per_rb is None else w_per_rb
+    chunk_rb = CHUNK_RB if chunk_rb is None else chunk_rb
     w_per_rb, chunk_rb = _scaled_budget(c_tri, w_per_rb, chunk_rb)
     n = o3.shape[1]
     tripack = _pack_for_sparse(scene, c_tri)
@@ -1667,13 +1672,17 @@ def sparse_nearest_t_idx_cm(
 
 def sparse_any_hit_cm(
     o3, d3_unit, max_dist, scene, *,
-    c_tri: int | None = None, r_blk: int = R_BLK, maxc: int = MAXC,
-    w_per_rb: int = W_PER_RB, chunk_rb: int = CHUNK_RB,
+    c_tri: int | None = None, r_blk: int | None = None,
+    maxc: int = MAXC,
+    w_per_rb: int | None = None, chunk_rb: int | None = None,
     two_pass: int | None = None, m_div: int = M_DIV,
     group: int | None = None,
 ):
     """Component-major sparse shadow occlusion; detached from autodiff."""
     c_tri = C_TRI if c_tri is None else c_tri
+    r_blk = R_BLK if r_blk is None else r_blk
+    w_per_rb = W_PER_RB if w_per_rb is None else w_per_rb
+    chunk_rb = CHUNK_RB if chunk_rb is None else chunk_rb
     w_per_rb, chunk_rb = _scaled_budget(c_tri, w_per_rb, chunk_rb)
     n = o3.shape[1]
     sg = lax.stop_gradient

@@ -348,13 +348,7 @@ def nearest_hit_cm(
 
         d3u = normalize3(d3)
         resolved = resolve_accel(accel, scene.num_padded_triangles)
-        if resolved == "ranked":
-            from pathtracerpython_tpu.kernels.ranked_pallas import (
-                ranked_nearest_t_idx_cm,
-            )
-
-            t, idx = ranked_nearest_t_idx_cm(o3, d3u, scene)
-        elif resolved in ("sparse", "ranked-nee"):
+        if resolved == "sparse":
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
         else:
             t, idx = nearest_t_idx_cm(o3, d3u, scene)
@@ -400,12 +394,6 @@ def any_hit_within_cm(
         )
 
         resolved = resolve_accel(accel, scene.num_padded_triangles)
-        if resolved in ("ranked", "ranked-nee"):
-            from pathtracerpython_tpu.kernels.ranked_pallas import (
-                ranked_any_hit_cm,
-            )
-
-            return ranked_any_hit_cm(o3, d3_unit, max_dist, scene)
         if resolved == "sparse":
             return sparse_any_hit_cm(o3, d3_unit, max_dist, scene)
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)

@@ -24,14 +24,11 @@ class RenderConfig:
     # Acceleration hierarchy: "auto" engages the cluster-sparse sweeps
     # (kernels/sparse_pallas.py) for large scenes (>= SPARSE_MIN_TRIS
     # padded triangles) on the fast+pallas path; "sparse" forces them;
-    # "ranked" selects the per-ray ranked-round traversal
-    # (kernels/ranked_pallas.py — exact per-ray work, sort-per-round);
-    # "ranked-nee" mixes the two where each is strongest (ranked rounds
-    # for the NEE any-hit, whose per-lane occlusion finality terminates
-    # well; cluster-sparse sweeps for the nearest hit, whose ranked
-    # termination is weak on open scenes — docs/PERFORMANCE.md);
     # "none" keeps the dense megakernels. Results are bit-identical
-    # across all of them.
+    # across all of them. (The round-2 "ranked"/"ranked-nee" per-ray
+    # traversals were excised in round 3 — measured 0.92M vs 5.67M
+    # rays/s on the 100k config, docs/PERFORMANCE.md; git history
+    # preserves them.)
     accel: str = "auto"
     # Whole-bounce fused megakernel (kernels/bounce_pallas.py): one Pallas
     # launch per bounce (nearest + NEE + shade + scatter) on the
@@ -76,9 +73,7 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
-        assert self.accel in (
-            "auto", "sparse", "ranked", "ranked-nee", "none",
-        ), self.accel
+        assert self.accel in ("auto", "sparse", "none"), self.accel
         assert self.fused_bounce in ("auto", "on", "off"), self.fused_bounce
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.soft_vis_beta >= 0.0

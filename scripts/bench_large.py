@@ -64,6 +64,21 @@ def main() -> None:
         "single-item optimum (128) may win under --group > 1",
     )
     p.add_argument(
+        "--r-blk", type=int, default=None,
+        help="rays per block (sparse_pallas.R_BLK); smaller blocks mean "
+        "tighter per-block candidate unions but more grid steps",
+    )
+    p.add_argument(
+        "--w-per-rb", type=int, default=None,
+        help="average work-list slots per ray block (sparse_pallas."
+        "W_PER_RB, pre-budget-scaling)",
+    )
+    p.add_argument(
+        "--chunk-rb", type=int, default=None,
+        help="ray blocks per sparse launch (sparse_pallas.CHUNK_RB, "
+        "pre-budget-scaling)",
+    )
+    p.add_argument(
         "--two-pass", type=int, default=None,
         help="force two_pass trunc_k (default: module auto)",
     )
@@ -72,18 +87,10 @@ def main() -> None:
         help="enable nearest two-pass with this trunc_k (per-lane bound)",
     )
     p.add_argument(
-        "--ranked-rounds", type=int, default=None,
-        help="ranked-traversal rounds before the residue fallback",
-    )
-    p.add_argument(
-        "--ranked-kmax", type=int, default=None,
-        help="ranked-traversal per-ray candidate cap",
-    )
-    p.add_argument(
         "--mt-impl", default="classic", choices=["classic", "plucker"],
-        help="dense-sweep in-triangle test: classic MT on the VPU or "
-        "Plücker edge side tests as K=8 matmuls on the MXU (affects the "
-        "accel=none dense kernels only)",
+        help="in-triangle test for BOTH the dense and (since r3) the "
+        "sparse grouped sweeps: classic MT on the VPU or Plücker edge "
+        "side tests as K=8 matmuls on the MXU",
     )
     p.add_argument(
         "--platform", default=None,
@@ -94,8 +101,15 @@ def main() -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
+    from pathtracerpython_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()  # queue reruns skip recompiles; the
+    #                             compile_s column then reports the
+    #                             cached (deserialize) time
+
     from pathtracerpython_tpu.kernels import intersect_pallas as ip
-    from pathtracerpython_tpu.kernels import ranked_pallas as rk
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
     ip.MT_IMPL = args.mt_impl
@@ -104,10 +118,12 @@ def main() -> None:
         sp.GROUP = args.group
     if args.c_tri is not None:
         sp.C_TRI = args.c_tri
-    if args.ranked_rounds is not None:
-        rk.ROUNDS = args.ranked_rounds
-    if args.ranked_kmax is not None:
-        rk.KMAX = args.ranked_kmax
+    if args.r_blk is not None:
+        sp.R_BLK = args.r_blk
+    if args.w_per_rb is not None:
+        sp.W_PER_RB = args.w_per_rb
+    if args.chunk_rb is not None:
+        sp.CHUNK_RB = args.chunk_rb
     if args.two_pass_nearest is not None:
         sp.TWO_PASS_NEAREST_AUTO = True
         sp.PASS1_K = args.two_pass_nearest

@@ -1,10 +1,10 @@
-"""Round-2 TPU bench queue: run every pending measurement the moment the
+"""Round-3 TPU bench queue: run every pending measurement the moment the
 axon tunnel is alive, guarding each step with a trivial-jit poll (worker
 crashes can wedge the tunnel — see docs/PERFORMANCE.md).
 
 Every bench runs as a SUBPROCESS under ``timeout`` so a hung backend
 can't wedge this driver; stdout JSON lines are appended to
-``BENCHLOG_r2.jsonl`` tagged with the step name.
+``BENCHLOG_r3.jsonl`` tagged with the step name.
 
 Usage: python scripts/tpu_bench_queue.py [--log PATH] [--steps a,b,...]
 """
@@ -28,81 +28,46 @@ POLL_CMD = [
 
 BL = os.path.join(REPO, "scripts", "bench_large.py")
 
-# (name, argv, timeout_s) — ordered by value; later steps are tuning.
-STEPS = [
-    # fused A/B isolates ONE lever: both steps pin mt-impl=classic, and
-    # the fused step passes --fused-bounce=auto explicitly (bench.py's
-    # default flipped to off in round 2 — ADVICE r2)
-    ("cornell_fused",
-     [sys.executable, os.path.join(REPO, "bench.py"),
-      "--fused-bounce=auto", "--mt-impl=classic"], 900),
-    ("cornell_unfused",
-     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off",
-      "--mt-impl=classic"],
-     900),
-    ("large_sparse_cascade",  # --group 1 pinned: reproduces the logged
-     #  G=1 baseline (module GROUP default is now 2 — ADVICE r2)
-     [sys.executable, BL, "--configs", "sparse:on", "--group", "1"], 2400),
-    ("large_ranked",
-     [sys.executable, BL, "--configs", "ranked:off"], 2400),
-    ("large_ranked_nee",  # mixed: sparse nearest + ranked NEE occlusion
-     [sys.executable, BL, "--configs", "ranked-nee:on"], 2400),
-    ("large_ranked_nee_r3",  # fewer rounds -> residue sweep eats the tail
-     [sys.executable, BL, "--configs", "ranked-nee:on", "--ranked-rounds",
-      "3"], 2400),
-    ("large_ranked_nee_r10",  # more rounds -> smaller residue, more sorts
-     [sys.executable, BL, "--configs", "ranked-nee:on", "--ranked-rounds",
-      "10"], 2400),
-    ("large_group2",
-     [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 2400),
-    ("large_group4",
-     [sys.executable, BL, "--configs", "sparse:on", "--group", "4"], 2400),
-    ("large_group2_twopass_off",  # the two measured winners composed:
-     #  grouping (5.27M vs 4.49M) + any-hit two-pass off (4.75M vs 4.49M)
+# Round-3 campaign: close the 100k-triangle gap. Every step prices one
+# lever of the sparse sweeps on the BASELINE config (512^2/2spp/3b,
+# 100k tris). The round-2 STEPS are preserved in git history
+# (tpu_bench_queue.py @ 1f0f5eb).
+R3_STEPS = [
+    ("r3_base_c128_g2",  # production default rerun (classic, 5.65M in r2)
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 1200),
+    ("r3_plucker_c128_g2",  # NEW: MXU Plucker sparse sweeps
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
-      "--two-pass", "0"], 2400),
-    ("large_group2_c64",
+      "--mt-impl", "plucker"], 1200),
+    ("r3_classic_c64_g2",  # budget-scaled small clusters (r2's 'crash')
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
-      "--c-tri", "64", "--two-pass", "0"], 2400),
-    ("large_median",
-     [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
-      "--group", "1"],
-     2400),
-    ("large_median_group2",
-     [sys.executable, BL, "--configs", "sparse:on", "--order", "median",
-      "--group", "2"], 2400),
-    ("large_twopass_off",  # any-hit two-pass auto-engages at PASS1_K=4;
-     #  the informative A/B is OFF (re-measure the cascade without it)
-     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "0",
-      "--group", "1"],
-     2400),
-    ("large_twopass_nearest4",
-     [sys.executable, BL, "--configs", "sparse:on", "--two-pass-nearest",
-      "4", "--group", "1"], 2400),
-    ("large_group4_c64",  # grouping amortizes per-item overhead, which
-     #  is what made c64 lose standalone — retest small clusters grouped
+      "--c-tri", "64"], 1200),
+    ("r3_classic_c64_g4",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
-      "--c-tri", "64"], 2400),
-    ("large_group4_c32",
+      "--c-tri", "64"], 1200),
+    ("r3_classic_c32_g4",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
-      "--c-tri", "32"], 2400),
-    ("large_group8_c32",
+      "--c-tri", "32"], 1200),
+    ("r3_classic_c32_g8",
      [sys.executable, BL, "--configs", "sparse:on", "--group", "8",
-      "--c-tri", "32"], 2400),
-    ("large_dense_baseline",
-     [sys.executable, BL, "--configs", "none:off,sparse:on"], 3600),
-    ("cornell_plucker",  # MXU Plücker side tests vs classic-MT VPU sweeps
-     #  (dense kernels only — fused off so the composed path runs)
-     [sys.executable, os.path.join(REPO, "bench.py"), "--fused-bounce=off",
-      "--mt-impl=plucker"], 900),
-    ("large_dense_plucker",  # same lever on the 100k-tri dense baseline
-     [sys.executable, BL, "--configs", "none:off", "--mt-impl", "plucker"],
-     3600),
-    ("mxu_probe",
-     [sys.executable, os.path.join(REPO, "scripts", "mxu_probe.py")], 1200),
-    ("grid_floor",  # all-parked wavefront: static-grid churn floor
-     [sys.executable, os.path.join(REPO, "scripts", "floor_cost.py")], 1200),
+      "--c-tri", "32"], 1200),
+    ("r3_plucker_c64_g2",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
+      "--c-tri", "64", "--mt-impl", "plucker"], 1200),
+    ("r3_plucker_c64_g4",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
+      "--c-tri", "64", "--mt-impl", "plucker"], 1200),
+    ("r3_rblk256_c128_g2",  # tighter block unions (r2's other 'crash')
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "2",
+      "--r-blk", "256"], 1200),
+    ("r3_rblk256_c64_g4",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
+      "--c-tri", "64", "--r-blk", "256"], 1200),
+    ("r3_rblk128_c64_g4",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4",
+      "--c-tri", "64", "--r-blk", "128"], 1200),
 ]
+
+STEPS = R3_STEPS
 
 
 def log_line(log_path: str, obj: dict) -> None:
@@ -124,7 +89,7 @@ def poll(timeout_s: int = 120) -> bool:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r2.jsonl"))
+    p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r3.jsonl"))
     p.add_argument("--steps", default=None,
                    help="comma list of step names (default: all)")
     p.add_argument("--skip-done", action="store_true",

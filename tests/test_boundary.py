@@ -181,3 +181,134 @@ def test_soft_pose_fit_recovers_offset(occ_scene):
         updates, state = step(dx, state)
         dx = optax.apply_updates(dx, updates)
     assert abs(float(dx)) < 1e-2, float(dx)
+
+
+def rotate_blocker(scene, theta):
+    """Yaw the blocker about its centroid, differentiably."""
+    from pathtracerpython_tpu.diff.transforms import rotate_object
+
+    return rotate_object(scene, 1, theta)
+
+
+def test_soft_rotation_grad_matches_fd(occ_scene):
+    """Central FD validates the soft gradient of an occluder ROTATION
+    (round-2 VERDICT item 3: beyond single-axis translation). The
+    blocker is yawed about a corner-offset center so the silhouette
+    genuinely moves (about the centroid, a square quad's yaw is
+    near-symmetric at 12x12 resolution)."""
+    from pathtracerpython_tpu.diff.transforms import rotate_object
+
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+
+    def f(theta):
+        moved = rotate_object(
+            occ_scene, 1, theta, center=(0.4, 0.0, -1.6)
+        )
+        return scene_loss(moved, cfg)
+
+    for th0 in (0.0, 0.2):
+        ad = float(jax.grad(f)(th0))
+        eps = 2e-3
+        fd = (float(f(th0 + eps)) - float(f(th0 - eps))) / (2 * eps)
+        assert abs(ad) > 1e-5, ad
+        np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=2e-5)
+
+
+def test_soft_single_vertex_grad_matches_fd(occ_scene):
+    """Per-vertex perturbation: move ONE stored corner of the blocker
+    (both triangle rows that share it, keeping the quad watertight) and
+    FD-gate the gradient — the general vertex-position reading of
+    BASELINE configs[3]."""
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    # blocker rows are material 1; corner (0.4, 0.0, -1.6) appears as
+    # tri0.v2 and tri1.v1 (quad fan [0,1,2], [0,2,3])
+    rows = np.nonzero(np.asarray(occ_scene.tri_material) == 1)[0][:2]
+    corner = jnp.asarray([0.4, 0.0, -1.6], jnp.float32)
+
+    def f(dx):
+        shift = jnp.asarray([dx, 0.0, 0.0], jnp.float32)
+
+        def move_field(field, row):
+            near = jnp.linalg.norm(field[row] - corner) < 1e-5
+            return field.at[row].add(jnp.where(near, 1.0, 0.0) * shift)
+
+        sc = occ_scene
+        for row in rows:
+            sc = dataclasses.replace(
+                sc,
+                tri_v0=move_field(sc.tri_v0, row),
+                tri_v1=move_field(sc.tri_v1, row),
+                tri_v2=move_field(sc.tri_v2, row),
+            )
+        from pathtracerpython_tpu.scene.arrays import recompute_derived
+
+        return scene_loss(recompute_derived(sc), cfg)
+
+    ad = float(jax.grad(f)(0.0))
+    eps = 2e-3
+    fd = (float(f(eps)) - float(f(-eps))) / (2 * eps)
+    assert abs(ad) > 1e-5, ad
+    np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=2e-5)
+
+
+def test_soft_multibounce_grad_matches_fd(occ_scene):
+    """b=2 soft render: the blend runs inside the bounce scan (scatter
+    continues from the hard hit); the translation gradient still
+    FD-validates — the multi-bounce gate VERDICT r2 asked for."""
+    cfg = RenderConfig(mode="fast", n_bounces=2, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    f = occluder_loss_fn(occ_scene, cfg)
+    ad = float(jax.grad(f)(0.0))
+    eps = 2e-3
+    fd = (float(f(eps)) - float(f(-eps))) / (2 * eps)
+    assert abs(ad) > 1e-4, ad
+    np.testing.assert_allclose(ad, fd, rtol=8e-2, atol=2e-5)
+
+
+def test_rotation_translation_fit_recovers_pose(occ_scene):
+    """A 2-dof (dx, yaw) fit driven by soft gradients recovers a
+    perturbed blocker pose (VERDICT r2 'done when': rotation +
+    translation converges)."""
+    import optax
+
+    from pathtracerpython_tpu.diff.transforms import (
+        rotate_object,
+        translate_object,
+    )
+
+    cfg = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                       soft_vis_beta=BETA)
+    center = (0.4, 0.0, -1.6)
+
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+
+    w, h = occ_scene.meta.width, occ_scene.meta.height
+    o, d = make_primary_rays(occ_scene.eye, occ_scene.ortho, w, h)
+    pids = jnp.arange(w * h, dtype=jnp.int32)
+    target = render_rays(o, d, pids, occ_scene, cfg, 5)
+
+    def move(params):
+        sc = rotate_object(occ_scene, 1, params[1], center=center)
+        off = jnp.asarray([1.0, 0.0, 0.0]) * params[0]
+        return translate_object(sc, 1, off)
+
+    def loss(params):
+        rad = render_rays(o, d, pids, move(params), cfg, 5)
+        return 0.5 * jnp.mean((rad - target) ** 2)
+
+    opt = optax.adam(0.04)
+    params = jnp.asarray([0.25, 0.3], jnp.float32)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, st):
+        g = jax.grad(loss)(p)
+        up, st = opt.update(g, st)
+        return optax.apply_updates(p, up), st
+
+    for _ in range(80):
+        params, state = step(params, state)
+    assert abs(float(params[0])) < 2e-2, np.asarray(params)
+    assert abs(float(params[1])) < 6e-2, np.asarray(params)

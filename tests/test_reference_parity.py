@@ -92,20 +92,28 @@ def test_converged_radiance_bias_bound_b2(cornell_scene):
 
 def test_baseline_config0_shape(tmp_path):
     """The literal BASELINE configs[0] gate: 128x128, 16 spp, 2 bounces,
-    reference semantics, against a full reference-program capture at the
-    same shape (scripts/generate_reference_golden.py 16 2 9 <sdl-128>).
+    reference semantics, against full reference-program captures at the
+    same shape (scripts/generate_reference_golden.py 16 2 SEED <sdl-128>).
 
-    One run per side, so the gate is noise-calibrated: for unbiased
-    estimators of the same quantity with matched per-pixel variance,
-    E|ours - ref| equals our own seed-to-seed E|diff| exactly; averaged
-    over 49k pixel-channels its fluctuation is ~0.3%, so the 1.05 margin
-    bounds systematic bias at ~0.3 sigma per pixel."""
+    De-flaked (r3): BOTH sides average over every available seed. For
+    unbiased estimators of the same quantity with matched per-pixel
+    variance sigma^2, the mean-of-m vs mean-of-k difference is
+    N(0, sigma^2 (1/m + 1/k)) per pixel while our own seed-to-seed
+    E|diff| measures |N(0, 2 sigma^2)| — so the exact noise floor is
+    d_self * sqrt((1/m + 1/k) / 2). Averaged over 49k pixel-channels the
+    statistic fluctuates ~0.3%/sqrt(mk), so the 1.05 margin bounds
+    systematic bias without a realistic flake tail."""
     import shutil
 
-    path = os.path.join(GOLDEN_DIR, "reference_r16_b2_seed9_128x128.npz")
-    if not os.path.exists(path):
-        pytest.skip(f"golden not generated: {path}")
-    golden = np.load(path)["radiance"]
+    goldens = []
+    for s in (9, 10, 11):
+        path = os.path.join(
+            GOLDEN_DIR, f"reference_r16_b2_seed{s}_128x128.npz"
+        )
+        if os.path.exists(path):
+            goldens.append(np.load(path)["radiance"])
+    if not goldens:
+        pytest.skip("no 128x128 goldens generated")
 
     sdl_dir = tmp_path / "objs"
     shutil.copytree("/root/reference/objs", sdl_dir)
@@ -119,12 +127,19 @@ def test_baseline_config0_shape(tmp_path):
     scene = load_scene(str(sdl))
     assert scene.meta.width == scene.meta.height == 128
     cfg = RenderConfig(mode="reference", n_samples=16, n_bounces=2)
-    ours = np.asarray(render(scene, cfg, seed=9))
-    ours2 = np.asarray(render(scene, cfg, seed=123))
-
-    d_self = np.abs(ours - ours2).mean()
-    diff = np.abs(ours - golden)
-    assert diff.mean() < d_self * 1.05, (diff.mean(), d_self)
-    corr = np.corrcoef(ours.ravel(), golden.ravel())[0, 1]
-    self_corr = np.corrcoef(ours.ravel(), ours2.ravel())[0, 1]
+    ours = [
+        np.asarray(render(scene, cfg, seed=s)) for s in (9, 123, 456)
+    ]
+    d_self = np.mean([
+        np.abs(ours[i] - ours[j]).mean()
+        for i, j in ((0, 1), (0, 2), (1, 2))
+    ])
+    m, k = len(ours), len(goldens)
+    ours_mean = np.mean(ours, axis=0)
+    gold_mean = np.mean(goldens, axis=0)
+    floor = d_self * np.sqrt((1.0 / m + 1.0 / k) / 2.0)
+    diff = np.abs(ours_mean - gold_mean)
+    assert diff.mean() < floor * 1.05, (diff.mean(), floor, m, k)
+    corr = np.corrcoef(ours_mean.ravel(), gold_mean.ravel())[0, 1]
+    self_corr = np.corrcoef(ours[0].ravel(), ours[1].ravel())[0, 1]
     assert corr > self_corr - 0.002, (corr, self_corr)
