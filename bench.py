@@ -77,11 +77,10 @@ def main() -> None:
     bounces = 4
     nee = 3  # reference default n_light_samples (main.py:23)
 
-    # Defaults = the chip-measured winner (BENCHLOG_r2 Cornell 4-bounce:
-    # composed kernels + MXU Plücker side tests 699.6M rays/s vs fused
-    # 666.5M / classic composed 667.0M). A/B knobs flip either lever:
-    # --fused-bounce=auto|off, --mt-impl=plucker|classic.
-    fused = "auto" if "--fused-bounce=auto" in sys.argv else "off"
+    # Default = the chip-measured winner (BENCHLOG_r2 Cornell 4-bounce:
+    # composed kernels + MXU Plücker side tests 699.6M rays/s vs classic
+    # 667.0M; the fused-bounce megakernel — a measured wash — was excised
+    # in r3). A/B knob: --mt-impl=plucker|classic.
     mt_impl = "classic" if "--mt-impl=classic" in sys.argv else "plucker"
     if not on_tpu:
         mt_impl = "classic"  # the CPU path runs the XLA sweeps — record
@@ -95,7 +94,7 @@ def main() -> None:
     scene = jax.device_put(scene)
     cfg = RenderConfig(
         mode="fast", n_samples=spp, n_bounces=bounces, n_light_samples=nee,
-        backend="pallas" if on_tpu else "xla", fused_bounce=fused,
+        backend="pallas" if on_tpu else "xla",
         # all spp ride the wavefront as extra lanes: spp x fewer kernel
         # launches, bit-identical output (render_rays docstring)
         batch_samples=True,
@@ -121,20 +120,15 @@ def main() -> None:
     try:
         float(run(scene, origins, dirs, pixel_ids, run_ids[0]))  # warm
     except Exception as e:  # noqa: BLE001 — never lose the headline: a
-        # kernel regression on EITHER non-baseline lever (fused megakernel
-        # or the MXU Plücker sweeps) must degrade to the known-safe
-        # composed-classic measurement, not a missing BENCH number
+        # kernel regression on the MXU Plücker lever must degrade to the
+        # known-safe classic measurement, not a missing BENCH number
         print(f"primary config failed ({type(e).__name__}: {e}); "
-              "falling back to fused_bounce=off + mt_impl=classic",
-              file=sys.stderr)
-        import dataclasses
-
+              "falling back to mt_impl=classic", file=sys.stderr)
         if on_tpu:
             from pathtracerpython_tpu.kernels import intersect_pallas as ip
 
             ip.MT_IMPL = "classic"
         mt_impl = "classic"
-        cfg = dataclasses.replace(cfg, fused_bounce="off")
         run = make_run(cfg)
         float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
     overhead = _fetch_overhead_s()
@@ -157,9 +151,8 @@ def main() -> None:
         "vs_baseline": round(rays_per_s / target, 4),
         "platform": jax.default_backend(),
         # effective config, so logged numbers are self-describing across
-        # default flips (ADVICE r2): these reflect any fallback taken
+        # default flips (ADVICE r2): reflects any fallback taken
         "mt_impl": mt_impl,
-        "fused_bounce": cfg.fused_bounce,
     }))
 
 

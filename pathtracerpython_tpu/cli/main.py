@@ -79,10 +79,6 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")
-    p.add_argument("--fused-bounce", choices=("auto", "on", "off"),
-                   default="auto",
-                   help="whole-bounce megakernel for VMEM-resident scenes "
-                        "(fast+pallas path; equivalent estimator)")
     p.add_argument("--mt-impl", choices=("classic", "plucker"),
                    default="classic",
                    help="dense-sweep in-triangle test: classic MT on the "
@@ -184,7 +180,6 @@ def main(argv=None) -> int:
         use_background=args.honor_sdl,
         accel=args.accel,
         sort_rays=args.sort_rays,
-        fused_bounce=args.fused_bounce,
     )
     log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
         f"{scene.meta.width}x{scene.meta.height})")

@@ -30,14 +30,11 @@ class RenderConfig:
     # rays/s on the 100k config, docs/PERFORMANCE.md; git history
     # preserves them.)
     accel: str = "auto"
-    # Whole-bounce fused megakernel (kernels/bounce_pallas.py): one Pallas
-    # launch per bounce (nearest + NEE + shade + scatter) on the
-    # fast+pallas path for VMEM-resident scenes. "auto" engages it when
-    # supported (small scene, no geom sharding / sorting / soft
-    # visibility); "on" asserts support; "off" keeps the composed kernels.
-    # Results are equivalent up to fp reassociation (gated by
-    # tests/test_bounce_fused.py).
-    fused_bounce: str = "auto"
+    # (The round-2 whole-bounce fused megakernel — one launch per bounce —
+    # was excised in round 3: a measured WASH at its supported shapes
+    # (BENCHLOG_r2: 666.5M vs 667.0M rays/s) and a Mosaic compile failure
+    # (vector trunci i8->i1) at the small wavefronts where launch glue
+    # could have mattered. Git history @ a85edb8 preserves it.)
     # Per-bounce wavefront re-sorting by (direction octant, origin morton)
     # so sparse-sweep ray blocks stay coherent after scattering
     # (ops/sort.py). "auto" follows the accel decision; bit-identical
@@ -74,7 +71,6 @@ class RenderConfig:
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
         assert self.accel in ("auto", "sparse", "none"), self.accel
-        assert self.fused_bounce in ("auto", "on", "off"), self.fused_bounce
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.soft_vis_beta >= 0.0
         assert not (self.soft_vis_beta > 0.0 and self.mode == "reference"), (

@@ -405,56 +405,6 @@ def _soft_hit_and_shade(o3, d3, state, scene, cfg, u_nee):
     return hit1, color3
 
 
-def _fused_bounce_on(scene: SceneArrays, cfg: RenderConfig) -> bool:
-    """Whole-bounce megakernel gate (kernels/bounce_pallas.py)."""
-    if cfg.fused_bounce == "off":
-        return False
-    from pathtracerpython_tpu.kernels.bounce_pallas import (
-        fused_bounce_supported,
-    )
-
-    ok = fused_bounce_supported(scene, cfg)
-    if cfg.fused_bounce == "on":
-        assert ok, (
-            "fused_bounce='on' but the scene/config is outside the fused "
-            "kernel's scope (see kernels.bounce_pallas.fused_bounce_supported)"
-        )
-    return ok
-
-
-def _fused_bounce_step(
-    state: RayState, scene: SceneArrays, cfg: RenderConfig,
-    nk0, nk1, sk0, sk1,
-) -> RayState:
-    from pathtracerpython_tpu.kernels import bounce_pallas
-
-    f = state.origin3.dtype
-    common = (
-        state.origin3, state.direction3, state.throughput,
-        state.alive.astype(f), state.prev_specular.astype(f),
-        state.radiance3,
-    )
-    if bounce_pallas.RNG_IN_KERNEL:
-        keys4 = jnp.stack([nk0, nk1, sk0, sk1]).astype(jnp.uint32)
-        o3, d3, tp, alive_f, prevspec_f, rad3 = bounce_pallas.fused_bounce_rng(
-            cfg.n_light_samples, cfg.use_background,
-            *common, keys4, state.counters, scene,
-        )
-    else:
-        u_nee = rng.uniforms(nk0, nk1, state.counters,
-                             cfg.n_light_samples * 5)
-        u_scat = rng.uniforms(sk0, sk1, state.counters, 3)
-        o3, d3, tp, alive_f, prevspec_f, rad3 = bounce_pallas.fused_bounce(
-            cfg.n_light_samples, cfg.use_background,
-            *common, u_nee, u_scat, scene,
-        )
-    return RayState(
-        origin3=o3, direction3=d3, throughput=tp, alive=alive_f > 0.5,
-        radiance3=rad3, counters=state.counters,
-        prev_specular=prevspec_f > 0.5,
-    )
-
-
 def bounce_step(
     state: RayState, bounce_idx, scene: SceneArrays, cfg: RenderConfig,
     k0, k1, sort_bounds=None,
@@ -488,14 +438,6 @@ def bounce_step(
 
     nk0, nk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_NEE)
     sk0, sk1 = rng.fold(k0, k1, bounce_idx * 4 + _P_SCATTER)
-
-    # (fused_bounce_supported excludes every sorting config, so
-    # sort_bounds is None whenever the gate passes — the extra check is
-    # belt-and-suspenders for future sort modes. The fused step draws its
-    # own uniforms — in-kernel when RNG_IN_KERNEL — so they are not
-    # materialized here.)
-    if _fused_bounce_on(scene, cfg) and sort_bounds is None:
-        return _fused_bounce_step(state, scene, cfg, nk0, nk1, sk0, sk1)
 
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)

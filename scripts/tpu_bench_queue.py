@@ -33,6 +33,11 @@ BL = os.path.join(REPO, "scripts", "bench_large.py")
 # 100k tris). The round-2 STEPS are preserved in git history
 # (tpu_bench_queue.py @ 1f0f5eb).
 R3_STEPS = [
+    ("cornell_classic",  # headline A/B: classic-MT VPU sweeps
+     [sys.executable, os.path.join(REPO, "bench.py"), "--mt-impl=classic"],
+     900),
+    ("cornell_plucker",  # headline A/B: MXU Plucker side tests (default)
+     [sys.executable, os.path.join(REPO, "bench.py")], 900),
     ("r3_base_c128_g2",  # production default rerun (classic, 5.65M in r2)
      [sys.executable, BL, "--configs", "sparse:on", "--group", "2"], 1200),
     ("r3_plucker_c128_g2",  # NEW: MXU Plucker sparse sweeps

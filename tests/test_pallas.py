@@ -145,13 +145,9 @@ def test_fused_nee_gradients_match_xla(cornell_scene):
     }
     cfg_x = RenderConfig(mode="fast", n_samples=1, n_bounces=2,
                          backend="xla")
-    # subject under test = the COMPOSED kernels' custom VJPs (fused NEE +
-    # intersect); the whole-bounce megakernel has its own gradient gate
-    # (tests/test_bounce_fused.py) and its in-kernel fp contraction can
-    # flip one grazing lane's bounce-2 discrete vs the XLA path, which
-    # this element-exact tolerance would (correctly) flag
-    cfg_p = dataclasses.replace(cfg_x, backend="pallas",
-                                fused_bounce="off")
+    # subject under test = the composed kernels' custom VJPs (fused NEE +
+    # intersect)
+    cfg_p = dataclasses.replace(cfg_x, backend="pallas")
 
     def grads(cfg):
         return jax.grad(pixel_loss)(

@@ -114,7 +114,7 @@ def test_render_plucker_population(cornell_scene, plucker):
     from pathtracerpython_tpu.render.integrator import render
 
     cfg = RenderConfig(mode="fast", backend="pallas", n_samples=2,
-                       n_bounces=2, fused_bounce="off")
+                       n_bounces=2)
     a = np.asarray(render(cornell_scene, cfg, seed=3))
     ip_old = ip.MT_IMPL
     ip.MT_IMPL = "classic"
@@ -133,7 +133,7 @@ def test_plucker_gradients_flow(cornell_scene, plucker):
     from pathtracerpython_tpu.render.integrator import render
 
     cfg = RenderConfig(mode="fast", backend="pallas", n_samples=1,
-                       n_bounces=1, fused_bounce="off")
+                       n_bounces=1)
 
     def loss(v0):
         sc = dataclasses.replace(cornell_scene, tri_v0=v0)
