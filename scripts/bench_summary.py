@@ -1,11 +1,11 @@
-"""Summarize BENCHLOG_r2.jsonl into a winner table.
+"""Summarize a BENCHLOG_r*.jsonl into a winner table.
 
 Groups the queue's JSON lines by bench step, keeps each step's
 best (highest rays/s) result, and prints a sorted table plus the
-decisions the log supports (fused bounce on/off, best sparse knobs,
-ranked vs sparse routing). Pure post-processing — run anywhere.
+decisions the log supports (mt-impl A/B, best sparse knobs). Pure
+post-processing — run anywhere.
 
-Usage: python scripts/bench_summary.py [--log BENCHLOG_r2.jsonl]
+Usage: python scripts/bench_summary.py [--log BENCHLOG_r3.jsonl]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r2.jsonl"))
+    p.add_argument("--log", default=os.path.join(REPO, "BENCHLOG_r3.jsonl"))
     args = p.parse_args()
 
     rows, errors = [], []
@@ -40,7 +40,7 @@ def main() -> None:
                 rows.append(obj)
 
     large = [r for r in rows if "rays_per_s" in r
-             and r["bench"].startswith("large")]
+             and ("large" in r["bench"] or r["bench"].startswith("r3_"))]
     cornell = [r for r in rows if r["bench"].startswith("cornell")]
     other = [r for r in rows if r not in large and r not in cornell]
 

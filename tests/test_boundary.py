@@ -312,3 +312,70 @@ def test_rotation_translation_fit_recovers_pose(occ_scene):
         params, state = step(params, state)
     assert abs(float(params[0])) < 2e-2, np.asarray(params)
     assert abs(float(params[1])) < 6e-2, np.asarray(params)
+
+
+def make_stacked_occluder_scene():
+    """Two blockers stacked within one coverage band (0.08 apart at
+    BETA=0.05 -> band 0.3): the soft blend tracks ONE boundary (front +
+    first-behind), so stacked silhouettes are outside its exactness
+    scope — this scene documents the behavior bound."""
+    from pathtracerpython_tpu.scene.obj import mesh_from_arrays
+    from pathtracerpython_tpu.scene.sdl import SceneDescription, SdlObject
+
+    floor = mesh_from_arrays(
+        [[-4.0, -1.0, 2.0], [4.0, -1.0, 2.0], [4.0, -1.0, -8.0],
+         [-4.0, -1.0, -8.0]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    def quad(y, x0, x1, z0, z1):
+        return mesh_from_arrays(
+            [[x0, y, z0], [x1, y, z0], [x1, y, z1], [x0, y, z1]],
+            [[0, 1, 2], [0, 2, 3]],
+        )
+    light = quad(1.5, -0.7, 0.7, -2.7, -1.3)
+    mat = dict(ka=0.3, kd=0.7, ks=0.0, kt=0.0, n=1.0)
+    desc = SceneDescription(
+        eye=(0.0, 0.8, 3.0), width=12, height=12,
+        ortho=(-1.0, -1.0, 1.0, 1.0), ambient=0.3,
+        light_mesh=light, light_color=(1.0, 1.0, 1.0),
+        objects=[
+            SdlObject(mesh=floor, rgb=(0.7, 0.7, 0.7), **mat),
+            SdlObject(mesh=quad(0.0, -0.4, 0.4, -2.4, -1.6),
+                      rgb=(0.8, 0.2, 0.2), **mat),
+            # second blocker 0.08 below, laterally offset half a width
+            SdlObject(mesh=quad(-0.08, -0.0, 0.8, -2.4, -1.6),
+                      rgb=(0.2, 0.2, 0.8), **mat),
+        ],
+    )
+    return pack_scene(desc)
+
+
+def test_stacked_silhouettes_stay_continuous_and_converge():
+    """Scope gate for the one-boundary blend: with TWO blockers stacked
+    inside the band, the soft radiance must (a) stay finite, (b) still
+    converge to the hard render at tiny beta, and (c) vary continuously
+    under small translations (no step jumps at sub-band scale). FD
+    exactness is NOT claimed here — that is the documented model limit
+    (diff/boundary.py; single-boundary scenes are FD-gated above)."""
+    scene = make_stacked_occluder_scene()
+    cfg_soft = RenderConfig(mode="fast", n_bounces=1, n_light_samples=2,
+                            soft_vis_beta=BETA)
+    hard = np.asarray(render(
+        scene, RenderConfig(mode="fast", n_bounces=1, n_light_samples=2),
+        seed=3,
+    ))
+    tiny = np.asarray(render(
+        scene, dataclasses.replace(cfg_soft, soft_vis_beta=1e-4), seed=3
+    ))
+    close = np.isclose(hard, tiny, rtol=1e-3, atol=1e-3).all(axis=1)
+    assert close.mean() > 0.9, close.mean()
+
+    f = occluder_loss_fn(scene, cfg_soft)
+    base = float(f(0.0))
+    assert np.isfinite(base)
+    for eps in (1e-3, 5e-3):
+        step = abs(float(f(eps)) - base)
+        # continuity at sub-band scale: bounded by ~|grad|*eps with a
+        # generous Lipschitz allowance (a hard-visibility pop would be
+        # O(pixel value) ~ 1e-2+ at this resolution)
+        assert step < 2e-3, (eps, step)
