@@ -84,3 +84,22 @@ def test_progressive_compose_with_sharded_renderer(cornell_scene, tmp_path):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(single), rtol=1e-6, atol=1e-7
     )
+
+
+def test_compile_cache_helper(tmp_path):
+    """TPU-gated by default (CPU AOT entries can SIGILL-mismatch hosts);
+    an explicit path forces it on any backend."""
+    import jax
+
+    from pathtracerpython_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    if jax.default_backend() != "tpu":
+        assert enable_compilation_cache() is None
+    d = str(tmp_path / "cache")
+    assert enable_compilation_cache(d) == d
+    import os
+
+    assert os.path.isdir(d)
+    assert jax.config.jax_compilation_cache_dir == d
