@@ -28,7 +28,7 @@ import pytest  # noqa: E402
 # trigger is cumulative compiler/JIT state, not the test itself. Dropping
 # every cached executable before each heavy module keeps the per-process
 # high-water mark bounded.
-_HEAVY_MODULES = ("test_sparse", "test_walker",
+_HEAVY_MODULES = ("test_sparse", "test_walker", "test_soft_sparse",
                   "test_pallas", "test_large_scene")
 
 

@@ -51,3 +51,14 @@ def test_fit_pose_cube_smoke(tmp_path):
         out_dir=str(tmp_path / "cube"), log=lambda *_: None,
     )
     assert res["loss_last"] < res["loss_first"], res
+
+
+def test_fit_camera_smoke(tmp_path):
+    """Camera-pose recovery end-to-end (apps/fit_camera): loss drops and
+    the recovered eye offset shrinks — the differentiable-camera app
+    from round 2 gets the same smoke coverage as the other fits."""
+    from pathtracerpython_tpu.apps.fit_camera import run
+
+    res = run(steps=10, out_dir=str(tmp_path / "cam"), spp=1, bounces=1,
+              log=lambda *_: None)
+    assert res["loss_last"] < res["loss_first"], res
