@@ -1,0 +1,193 @@
+"""Measure the TRUE per-ray exact traversal work on real wavefronts.
+
+The roofline argument (docs/PERFORMANCE.md round-3 section) divides the
+100k config's render time by the work an idealized per-ray traversal
+would do. This script measures that work directly, per ray, on a real
+bounce-1 NEE wavefront and the bounce-2 nearest wavefront:
+
+- candidate clusters: exact per-ray slab tests against every cluster
+  AABB (window-limited for shadow rays);
+- per-ray front-to-back termination: for NEE, clusters scanned until the
+  first one containing an occluding triangle (unoccluded rays must scan
+  ALL candidates — proving a negative has no early-out); for nearest,
+  clusters scanned until the entry bound passes the ray's true best t;
+- block-union executed work: what the production block-granularity
+  kernel sweeps for the same rays (per 512-lane block: union candidates
+  x c_tri x lanes).
+
+Prints one JSON line with the distributions. Run on TPU or CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def main() -> None:
+    n_sample = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    c_tri = 128
+
+    from pathtracerpython_tpu.kernels.intersect_pallas import pack_triangles
+    from pathtracerpython_tpu.kernels.sparse_pallas import (
+        _pack_for_sparse,
+        cluster_aabbs,
+    )
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.ops.geometry import (
+        intersect_moller,
+        normalize3,
+    )
+    from pathtracerpython_tpu.ops.sort import (
+        permute_minor,
+        scene_bounds,
+        wavefront_sort_order,
+    )
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+    w = 512
+    scene = pack_scene(
+        box_field_scene(n_boxes=8333, width=w, height=w),
+        tri_order="morton",
+    )
+    scene = jax.device_put(scene)
+    tps = _pack_for_sparse(scene, c_tri)
+    aabb8 = cluster_aabbs(tps, c_tri)
+    c = aabb8.shape[0]
+
+    # bounce-1 shading points: nearest hits of the primary rays
+    o, d = make_primary_rays(scene.eye, scene.ortho, w, w)
+    o3, d3 = o.T, normalize3(d.T)
+    from pathtracerpython_tpu.kernels.sparse_pallas import (
+        sparse_nearest_t_idx_cm,
+    )
+
+    t, idx = jax.jit(
+        lambda a, b: sparse_nearest_t_idx_cm(a, b, scene)
+    )(o3, d3)
+    hitmask = np.asarray(idx) >= 0
+    pts = np.asarray(o3 + d3 * np.asarray(t)[None, :])[:, hitmask]
+
+    rng = np.random.default_rng(0)
+    sel = rng.choice(pts.shape[1], size=min(n_sample, pts.shape[1]),
+                     replace=False)
+    p3 = jnp.asarray(pts[:, sel])                      # [3, M]
+    m = p3.shape[1]
+
+    # NEE rays: one uniform light point per shading point
+    lv0, lv1, lv2 = scene.light_v0, scene.light_v1, scene.light_v2
+    li = rng.integers(0, lv0.shape[0], m)
+    b1 = rng.random(m).astype(np.float32)
+    b2 = rng.random(m).astype(np.float32)
+    su = np.sqrt(b1)
+    bary = np.stack([1 - su, su * (1 - b2), su * b2])
+    lp = (bary[0][None] * np.asarray(lv0)[li].T
+          + bary[1][None] * np.asarray(lv1)[li].T
+          + bary[2][None] * np.asarray(lv2)[li].T)
+    vec = jnp.asarray(lp) - p3
+    dist = jnp.sqrt(jnp.sum(vec * vec, axis=0))
+    d3n = vec / dist[None, :]
+
+    # per-ray slab candidates (exact, window-limited)
+    blo = aabb8[:, 0:3]                                 # [C, 3]
+    bhi = aabb8[:, 3:6]
+
+    def per_ray_slabs(o3r, d3r, tmax):
+        o_ = o3r.T[:, None, :]                          # [M, 1, 3]
+        d_ = d3r.T[:, None, :]
+        safe = jnp.where(jnp.abs(d_) < 1e-12,
+                         jnp.where(d_ >= 0, 1e-12, -1e-12), d_)
+        inv = 1.0 / safe
+        lo = (blo[None] - o_) * inv                     # [M, C, 3]
+        hi = (bhi[None] - o_) * inv
+        tn = jnp.minimum(lo, hi).max(axis=2)
+        tf = jnp.maximum(lo, hi).min(axis=2)
+        nonempty = (aabb8[:, 0] <= aabb8[:, 3])[None, :]
+        hit = nonempty & (tf >= jnp.maximum(tn, 0.0) - 1e-3) & (
+            jnp.maximum(tn, 0.0) <= tmax[:, None] + 1e-3
+        )
+        return jnp.maximum(tn, 0.0), hit
+
+    enter, hit = jax.jit(per_ray_slabs)(p3, d3n, dist)
+    ncand = np.asarray(jnp.sum(hit, axis=1))
+
+    # per-cluster occlusion truth: does cluster k contain a triangle
+    # occluding ray r within its window? [M, C] via a scan over clusters
+    occl_col = (tps[:, 10] > 0.5)
+
+    def cluster_occludes(carry, k):
+        blk = lax.dynamic_slice_in_dim(tps, k * c_tri, c_tri, axis=0)
+        h, tt = intersect_moller(
+            p3.T[:, None, :], d3n.T[:, None, :],
+            blk[None, :, 0:3], blk[None, :, 3:6], blk[None, :, 6:9],
+        )
+        occ = blk[None, :, 10] > 0.5
+        block = h & occ & (tt < dist[:, None] - 1e-4) & (
+            blk[None, :, 9] > 0.5
+        )
+        return carry, jnp.any(block, axis=1)
+
+    _, occ_by_cluster = jax.jit(
+        lambda: lax.scan(cluster_occludes, 0,
+                         jnp.arange(c, dtype=jnp.int32))
+    )()
+    occ_by_cluster = np.asarray(occ_by_cluster).T       # [M, C]
+
+    # front-to-back exact scan length per ray
+    enter_np = np.asarray(enter)
+    hit_np = np.asarray(hit)
+    order = np.argsort(np.where(hit_np, enter_np, np.inf), axis=1)
+    hit_sorted = np.take_along_axis(hit_np, order, axis=1)
+    occ_sorted = np.take_along_axis(occ_by_cluster, order, axis=1) & hit_sorted
+    first_occ = np.where(
+        occ_sorted.any(axis=1), occ_sorted.argmax(axis=1), -1
+    )
+    scanned = np.where(first_occ >= 0, first_occ + 1, ncand)
+    occluded = first_occ >= 0
+
+    # block-union executed work for the same rays, production geometry
+    r_blk = 512
+    lo3, hi3 = scene_bounds(scene)
+    ordr = wavefront_sort_order(p3, d3n, jnp.ones(m, bool), lo3, hi3)
+    p3s, d3s = permute_minor(p3, ordr), permute_minor(d3n, ordr)
+    dists = jnp.take(dist, ordr)
+    mm = (m // r_blk) * r_blk
+    from pathtracerpython_tpu.kernels.sparse_pallas import (
+        _candidate_enter_hit,
+    )
+    tmax_rb = jnp.max(dists[:mm].reshape(-1, r_blk), axis=1)
+    _, bhit = jax.jit(
+        lambda a, b, c_, d_: _candidate_enter_hit(a, b, c_, d_, r_blk)
+    )(aabb8, p3s[:, :mm], d3s[:, :mm], tmax_rb)
+    block_cand = np.asarray(jnp.sum(bhit, axis=1))
+
+    out = {
+        "metric": "nee_exact_work",
+        "rays_sampled": int(m),
+        "occluded_frac": float(occluded.mean()),
+        "cand_per_ray_mean": float(ncand.mean()),
+        "scanned_clusters_mean": float(scanned.mean()),
+        "scanned_occluded_mean": float(scanned[occluded].mean()),
+        "scanned_unoccluded_mean": float(scanned[~occluded].mean())
+        if (~occluded).any() else 0.0,
+        "exact_pairs_per_ray": float(scanned.mean() * c_tri),
+        "block_union_cand_mean": float(block_cand.mean()),
+        "executed_pairs_per_ray_block_granularity": float(
+            block_cand.mean() * c_tri
+        ),
+        "executed_over_exact": float(
+            block_cand.mean() / max(scanned.mean(), 1e-9)
+        ),
+        "platform": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
