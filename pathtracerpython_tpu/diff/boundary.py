@@ -183,7 +183,6 @@ def _gather_soft_tris(scene, cids, cvalid, c_tri):
     Returns (v0, v1, v2 [M, 3], occluder bool[M], tri_ok bool[M],
     gidx i32[M]) with M = k·c_tri; invalid slots are masked via tri_ok.
     """
-    n_pad = -(-scene.tri_v0.shape[0] // 512) * 512  # _pack_for_sparse pad
     tidx = (cids[:, None] * c_tri
             + jnp.arange(c_tri, dtype=jnp.int32)[None, :]).reshape(-1)
     in_range = tidx < scene.tri_v0.shape[0]
@@ -196,7 +195,6 @@ def _gather_soft_tris(scene, cids, cvalid, c_tri):
         slot_ok & in_range & jnp.take(scene.tri_valid, safe)
     )
     occl = jnp.take(scene.tri_occluder, safe) & tri_ok
-    del n_pad
     return v0, v1, v2, occl, tri_ok, safe
 
 

@@ -416,7 +416,6 @@ def _walker_nearest_entry(o3, d3, tiles, statics, chunk_rb):
     c_tri, r_blk, w_per_rb = statics
     # AABBs recomputed from the wide tiles' geometry columns (cols 0:12
     # carry the canonical pack; the builder only reads 0:10)
-    n_t = tiles.shape[0]
     aabb8 = cluster_aabbs(sg(tiles)[:, :12], c_tri)
     return _map_chunks(
         lambda oc, dc: _nearest_chunk(oc, dc, tiles, aabb8, statics),
