@@ -89,6 +89,7 @@ def run(
     soft_beta: float = 0.03,
     soft_beta_start: float | None = None,
     beta_stages: int = 4,
+    pyramid: bool = True,
     log=print,
 ) -> dict:
     import jax
@@ -153,48 +154,65 @@ def run(
         )
 
     w, h = scene.meta.width, scene.meta.height
-    origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
-    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
     # fixed RNG: the loss is a deterministic, piecewise-smooth function of
     # the pose, so plain gradient descent applies
     key = jax.random.PRNGKey(seed)
 
+    # Coarse-to-fine resolution pyramid (object mode, high-res scenes):
+    # the pose basin is non-convex — from a large perturbation the
+    # depth-axis gradient initially points AWAY from the truth until the
+    # lateral axes align (measured, BENCHLOG_r3 r3_fit128_diag) — and at
+    # high resolution the boundary-band signal is a smaller fraction of
+    # the pixel-mean loss, so escaping takes many more steps. A coarse
+    # level first recovers the pose where the basin is benign, then the
+    # native level polishes. Each level reruns the full beta anneal with
+    # fresh optimizer moments (they are resolution-scale-dependent).
+    levels = [(w, h)]
+    if object_name is not None and pyramid and min(w, h) >= 96:
+        levels = [(max(40, w // 4), max(40, h // 4)), (w, h)]
+
     opt = optax.adam(lr)
-    opt_state = opt.init(params)
     losses = []
     stage_steps = [steps // len(betas)] * len(betas)
     stage_steps[-1] += steps - sum(stage_steps)
 
     final_cfg = make_cfg(betas[-1])
-    target_final = render(scene, final_cfg, seed=seed)
     save_png(
-        radiance_to_image(target_final, w, h),
+        radiance_to_image(render(scene, final_cfg, seed=seed), w, h),
         os.path.join(out_dir, "target.png"),
     )
 
-    for beta, n_steps in zip(betas, stage_steps):
-        cfg = make_cfg(beta)
-        # the target is re-rendered at each stage's beta so the optimum
-        # stays exactly at zero pose error throughout the anneal
-        target = (target_final if beta == betas[-1]
-                  else render(scene, cfg, seed=seed))
+    for lw, lh in levels:
+        origins, dirs = make_primary_rays(scene.eye, scene.ortho, lw, lh)
+        pixel_ids = jnp.arange(lw * lh, dtype=jnp.int32)
+        opt_state = opt.init(params)
 
-        def loss_fn(params, cfg=cfg, target=target):
-            off, ang = to_pose(params)
-            radiance = render_rays(
-                origins, dirs, pixel_ids, move(scene, off, ang), cfg, key,
+        for beta, n_steps in zip(betas, stage_steps):
+            cfg = make_cfg(beta)
+            # the target is re-rendered at each (level, beta) so the
+            # optimum stays exactly at zero pose error throughout
+            target = render_rays(
+                origins, dirs, pixel_ids, scene, cfg, key
             )
-            return 0.5 * jnp.mean((radiance - target) ** 2)
 
-        @jax.jit
-        def step(params, opt_state, loss_fn=loss_fn):
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = opt.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
+            def loss_fn(params, cfg=cfg, target=target, origins=origins,
+                        dirs=dirs, pixel_ids=pixel_ids):
+                off, ang = to_pose(params)
+                radiance = render_rays(
+                    origins, dirs, pixel_ids, move(scene, off, ang), cfg,
+                    key,
+                )
+                return 0.5 * jnp.mean((radiance - target) ** 2)
 
-        for _ in range(n_steps):
-            params, opt_state, loss = step(params, opt_state)
-            losses.append(float(loss))
+            @jax.jit
+            def step(params, opt_state, loss_fn=loss_fn):
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = opt.update(grads, opt_state)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            for _ in range(n_steps):
+                params, opt_state, loss = step(params, opt_state)
+                losses.append(float(loss))
 
     offset, angle = to_pose(params)
     save_png(
@@ -214,6 +232,7 @@ def run(
         "init_angle": float(init_angle) if not lateral_only else 0.0,
         "final_angle": float(angle) if not lateral_only else 0.0,
         "betas": betas,
+        "levels": levels,
         "out_dir": out_dir,
     }
     log(json.dumps(result))
@@ -241,6 +260,9 @@ def main(argv=None) -> int:
     p.add_argument("--lr-object", type=float, default=0.03,
                    help="learning rate used in object mode (the pose "
                         "anneal is tuned at 0.03; --lr covers light mode)")
+    p.add_argument("--no-pyramid", action="store_true",
+                   help="disable the coarse-to-fine resolution pyramid "
+                        "(object mode, scenes >= 96px)")
     p.add_argument("--out", default="/tmp/fit_pose")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu — the axon "
@@ -256,7 +278,7 @@ def main(argv=None) -> int:
         lr=args.lr_object if args.object else args.lr,
         out_dir=args.out, soft_beta=args.soft_beta,
         soft_beta_start=args.soft_beta_start, beta_stages=args.beta_stages,
-        init_angle=args.init_angle,
+        init_angle=args.init_angle, pyramid=not args.no_pyramid,
     )
     return 0
 

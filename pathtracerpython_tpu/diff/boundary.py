@@ -65,6 +65,26 @@ T_MIN = 1e-4
 BIG = 3.0e38
 IMAX = 2**31 - 1
 
+# A NEAR-MISS (margin < 0) must lead the nearest true hit by this
+# relative t-margin to become the blended front record F. Without it,
+# COPLANAR CONTACT geometry (e.g. a box standing on the floor: its
+# bottom face lies exactly in the floor plane) makes F a coin flip
+# between the true hit and the coplanar near-miss at ulp-identical t —
+# measured on the v5e (BENCHLOG_r3 r3_soft_coplanar): the whole
+# band-width ring around the contact flipped between floor-white and
+# cube-red across eager-vs-jit fusion and CPU-vs-TPU transcendentals,
+# which made pose fits platform-dependent. With the bias, coplanar
+# competitors stably lose (their blend contribution was unphysical —
+# a face buried in another surface is not a silhouette), while genuine
+# front silhouettes lead by far more than eps and are unaffected.
+F_TIE_EPS = 1e-4
+
+
+def _f_key(t, margin):
+    """Extended-front ordering key: true hits order by t; near-misses
+    pay the coplanar-tie bias."""
+    return jnp.where(margin < 0.0, t + F_TIE_EPS * (1.0 + jnp.abs(t)), t)
+
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
@@ -231,10 +251,12 @@ def soft_hits_sweep_sparse(
         base = ok & tri_ok[None, :] & (t > T_MIN)
         gidx_b = jnp.broadcast_to(gidx[None, :], t.shape)
 
-        def lex_min(accept):
-            """(t, margin, idx) of the lexicographic (t, global index)
-            minimum over accepted entries."""
-            key = jnp.where(accept, t, BIG)
+        def lex_min(accept, biased=False):
+            """(t, idx, margin) of the lexicographic (key, global index)
+            minimum over accepted entries; ``biased`` orders by the
+            coplanar-tie key (_f_key) while still reporting the true t."""
+            kv = _f_key(t, margin) if biased else t
+            key = jnp.where(accept, kv, BIG)
             k = jnp.min(key, axis=1)
             idx = jnp.min(
                 jnp.where((key == k[:, None]) & accept, gidx_b, IMAX),
@@ -242,7 +264,9 @@ def soft_hits_sweep_sparse(
             )
             sel = (key == k[:, None]) & (gidx_b == idx[:, None]) & accept
             m = jnp.max(jnp.where(sel, margin, -BIG), axis=1)
-            return k, idx, m
+            tt = jnp.max(jnp.where(sel, t, -BIG), axis=1)
+            tt = jnp.where(idx != IMAX, tt, BIG)
+            return tt, idx, m
 
         true_hit = base & (margin >= 0.0)
         h1t, h1i, _ = lex_min(true_hit)
@@ -252,7 +276,7 @@ def soft_hits_sweep_sparse(
         )
         h2t, h2i, _ = lex_min(second)
         ext = base & (margin > -band)
-        ft, fi, fm = lex_min(ext)
+        ft, fi, fm = lex_min(ext, biased=True)
         fm = jnp.where(fi != IMAX, fm, 0.0)
         return ft, fi, fm, h1t, h1i, h2t, h2i
 
@@ -340,17 +364,19 @@ def soft_hits_sweep_dense(
     d_unit = safe_normalize(direction)
     band = BAND_SIGMAS * float(beta)
 
-    def pick_first(at, aidx, am, bt, bidx, bm):
-        """Lexicographic (t, idx) minimum of two (t, idx, margin) records."""
-        better = (bt < at) | ((bt == at) & (bidx < aidx))
+    def pick_first(ak, at, aidx, am, bk, bt, bidx, bm):
+        """Lexicographic (key, idx) minimum of two (key, t, idx, margin)
+        records — ordered by the biased key, reporting the true t."""
+        better = (bk < ak) | ((bk == ak) & (bidx < aidx))
         return (
+            jnp.where(better, bk, ak),
             jnp.where(better, bt, at),
             jnp.where(better, bidx, aidx),
             jnp.where(better, bm, am),
         )
 
     def body(carry, start):
-        ft, fidx, fm, h1t, h1idx, h2t, h2idx = carry
+        fk, ft, fidx, fm, h1t, h1idx, h2t, h2idx = carry
         sl = lambda a: lax.dynamic_slice_in_dim(a, start, tile, axis=0)
         v0, v1, v2 = sl(scene.tri_v0), sl(scene.tri_v1), sl(scene.tri_v2)
         valid = sl(scene.tri_valid)
@@ -389,23 +415,28 @@ def soft_hits_sweep_dense(
         n2t = jnp.where(better2, k2, s2t)
         n2i = jnp.where(better2, i2, s2i)
 
-        # extended front hit: min t among margin > -band
+        # extended front hit: min biased key among margin > -band (true
+        # hits at t, near-misses at t + eps — the coplanar-tie bias)
         ext = base & (margin > -band)
-        keyf = jnp.where(ext, t, BIG)
+        keyf = jnp.where(ext, _f_key(t, margin), BIG)
         af = jnp.argmin(keyf, axis=1)
         rows = jnp.arange(n)
         kf = keyf[rows, af]
+        tf_true = t[rows, af]
         imf = margin[rows, af]
         idf = jnp.where(kf < BIG, tidx[0][af], IMAX)
-        nft, nfidx, nfm = pick_first(ft, fidx, fm, kf, idf, imf)
+        nfk, nft, nfidx, nfm = pick_first(
+            fk, ft, fidx, fm, kf, tf_true, idf, imf
+        )
+        nft = jnp.where(nfidx != IMAX, nft, BIG)
 
-        return (nft, nfidx, nfm, n1t, n1i, n2t, n2i)
+        return (nfk, nft, nfidx, nfm, n1t, n1i, n2t, n2i)
 
     big = jnp.full((n,), BIG, origin.dtype)
     imax = jnp.full((n,), IMAX, jnp.int32)
     zero = jnp.zeros((n,), origin.dtype)
-    ft, fidx, fm, h1t, h1idx, h2t, h2idx = _sweep(
-        T, tile, body, (big, imax, zero, big, imax, big, imax)
+    _, ft, fidx, fm, h1t, h1idx, h2t, h2idx = _sweep(
+        T, tile, body, (big, big, imax, zero, big, imax, big, imax)
     )
     return SoftHits(ft, fidx, fm, h1t, h1idx, h2t, h2idx)
 

@@ -379,3 +379,68 @@ def test_stacked_silhouettes_stay_continuous_and_converge():
         # generous Lipschitz allowance (a hard-visibility pop would be
         # O(pixel value) ~ 1e-2+ at this resolution)
         assert step < 2e-3, (eps, step)
+
+
+def test_coplanar_contact_does_not_blend():
+    """A box standing ON the floor has its bottom face exactly in the
+    floor plane. Floor pixels inside the coverage band of the bottom
+    face's edges must keep the FLOOR as the blended front record: the
+    coplanar near-miss ties the floor's t to the ulp, and before the
+    F_TIE_EPS bias the winner was a platform/fusion coin flip that
+    flipped a whole band-width ring of pixels between the two materials
+    (measured on the v5e, BENCHLOG_r3 r3_soft_coplanar)."""
+    from pathtracerpython_tpu.diff.boundary import IMAX, soft_hits_sweep
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.scene.obj import mesh_from_arrays
+    from pathtracerpython_tpu.scene.sdl import SceneDescription, SdlObject
+
+    floor = mesh_from_arrays(
+        [[-4.0, -1.0, 2.0], [4.0, -1.0, 2.0], [4.0, -1.0, -8.0],
+         [-4.0, -1.0, -8.0]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    # a box whose BOTTOM face (y = -1.0 exactly) is coplanar with the floor
+    v = []
+    for y in (-1.0, -0.4):
+        v += [[-0.3, y, -2.4], [0.3, y, -2.4], [0.3, y, -1.6],
+              [-0.3, y, -1.6]]
+    faces = [[0, 2, 1], [0, 3, 2],          # bottom (in the floor plane)
+             [4, 5, 6], [4, 6, 7],          # top
+             [0, 1, 5], [0, 5, 4], [1, 2, 6], [1, 6, 5],
+             [2, 3, 7], [2, 7, 6], [3, 0, 4], [3, 4, 7]]
+    box = mesh_from_arrays(v, faces)
+    light = mesh_from_arrays(
+        [[-0.7, 1.5, -2.7], [0.7, 1.5, -2.7], [0.7, 1.5, -1.3],
+         [-0.7, 1.5, -1.3]],
+        [[0, 1, 2], [0, 2, 3]],
+    )
+    mat = dict(ka=0.3, kd=0.7, ks=0.0, kt=0.0, n=1.0)
+    desc = SceneDescription(
+        eye=(0.0, 0.8, 3.0), width=24, height=24,
+        ortho=(-1.0, -1.0, 1.0, 1.0), ambient=0.3,
+        light_mesh=light, light_color=(1.0, 1.0, 1.0),
+        objects=[SdlObject(mesh=floor, rgb=(0.7, 0.7, 0.7), **mat),
+                 SdlObject(mesh=box, rgb=(0.8, 0.2, 0.2), **mat)],
+    )
+    scene = pack_scene(desc)
+    o, d = make_primary_rays(scene.eye, scene.ortho, 24, 24)
+    sh = soft_hits_sweep(
+        jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        scene, 0.05,
+    )
+    found = np.asarray(sh.f_idx) != IMAX
+    # wherever F is a NEAR-MISS (negative margin), its t must lead the
+    # true hit by the bias — a coplanar competitor can never be F
+    near = found & (np.asarray(sh.f_margin) < 0.0)
+    ft, h1t = np.asarray(sh.f_t), np.asarray(sh.h1_t)
+    has_h1 = np.asarray(sh.h1_idx) != IMAX
+    both = near & has_h1
+    assert (ft[both] < h1t[both] - 1e-5).all(), (
+        ft[both & ~(ft < h1t - 1e-5)][:5], h1t[both & ~(ft < h1t - 1e-5)][:5]
+    )
+    # floor pixels adjacent to the box keep the floor as F (true hit)
+    mats = np.asarray(scene.tri_material)
+    fmat = mats[np.where(found, np.asarray(sh.f_idx), 0)]
+    h1mat = mats[np.where(has_h1, np.asarray(sh.h1_idx), 0)]
+    same_t = found & has_h1 & (np.abs(ft - h1t) < 1e-4 * (1 + np.abs(h1t)))
+    assert (fmat[same_t] == h1mat[same_t]).all()
