@@ -142,7 +142,9 @@ def main() -> None:
     per_render = max(best - overhead, 1e-9) / REPS
 
     total_rays = width * height * spp * bounces * (1 + nee)
+    total_segments = width * height * spp * bounces
     rays_per_s = total_rays / per_render
+    segments_per_s = total_segments / per_render
     target = 50e6
     print(json.dumps({
         "metric": "rays_per_s_per_chip_cornell_4bounce",
@@ -153,6 +155,12 @@ def main() -> None:
         # effective config, so logged numbers are self-describing across
         # default flips (ADVICE r2): reflects any fallback taken
         "mt_impl": mt_impl,
+        # Both ray-counting conventions (VERDICT r3 weak #7): the headline
+        # counts every ray that runs an intersection sweep (path segments
+        # + NEE shadow rays, the 1+n_light_samples multiplier documented
+        # at top); segments_only counts closest-hit path segments alone.
+        "rays_per_s_segments_only": round(segments_per_s, 1),
+        "vs_baseline_segments_only": round(segments_per_s / target, 4),
     }))
 
 

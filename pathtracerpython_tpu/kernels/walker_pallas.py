@@ -74,9 +74,15 @@ from pathtracerpython_tpu.kernels.sparse_pallas import (
     cluster_aabbs,
 )
 
-# Tuned on the v5e 100k box field (BENCHLOG_r3 walker steps).
-C_TRI = 64
-R_BLK = 256
+# Measured-best walker shape on the v5e 100k box field (BENCHLOG_r3
+# r3_walker_kernel_ab: c256/r512 = 318 ms per 524k-ray nearest sweep vs
+# the sparse kernel's 275 ms; the small shapes are far worse — c64/r256
+# measured 6,198 ms, the in-kernel DMA loop pays ~5-20 µs per candidate
+# visit). Still a documented NEGATIVE vs sparse at every shape; these
+# defaults record the best point of the experiment, not a production
+# recommendation.
+C_TRI = 256
+R_BLK = 512
 N_BUF = 4          # DMA ring depth (hides tile-fetch latency)
 CHUNK_RB = 128     # ray blocks per launch
 W_PER_RB = 384     # average candidate slots per block in a launch
