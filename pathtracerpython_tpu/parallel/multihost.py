@@ -75,3 +75,24 @@ def sync(name: str = "barrier") -> None:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+def to_global(x: jax.Array, mesh, spec) -> jax.Array:
+    """Host-replicated value → global array laid out as ``spec`` on
+    ``mesh``.
+
+    Multi-process ``shard_map``/``jit`` require GLOBAL arrays; a value
+    built identically on every process (camera rays, the scene pytree, an
+    RNG key — everything ``render_sharded`` feeds the mesh) becomes one by
+    each process materializing just its addressable shards. Single-process
+    (including the virtual 8-device CPU mesh) is a no-op: XLA shards
+    host-local arrays itself.
+    """
+    if jax.process_count() == 1:
+        return x
+    from jax.sharding import NamedSharding
+
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(
+        xnp.shape, NamedSharding(mesh, spec), lambda idx: xnp[idx]
+    )

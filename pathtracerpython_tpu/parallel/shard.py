@@ -101,6 +101,22 @@ def render_rays_sharded(
     ray_spec = P(axes)
     scene_spec = scene_partition_specs(scene, geom_axis)
 
+    if jax.process_count() > 1:
+        # a cross-process mesh needs GLOBAL arrays; every input here is
+        # host-replicated by construction (same scene file, same camera,
+        # same seed on every process), so each process just materializes
+        # its addressable shards
+        from pathtracerpython_tpu.parallel import multihost
+
+        origins = multihost.to_global(origins, mesh, ray_spec)
+        directions = multihost.to_global(directions, mesh, ray_spec)
+        pixel_ids = multihost.to_global(pixel_ids, mesh, ray_spec)
+        base_key = multihost.to_global(base_key, mesh, P())
+        scene = jax.tree_util.tree_map(
+            lambda leaf, sp: multihost.to_global(leaf, mesh, sp),
+            scene, scene_spec,
+        )
+
     @partial(
         shard_map,
         mesh=mesh,
