@@ -8,16 +8,25 @@ Two modes:
   shadow direction → cosine), so interior autodiff gradients are exact and
   the fit converges to ~1e-4 offset error. Only the lateral components are
   optimized: the reference estimator has no inverse-square distance
-  falloff (``main.py:65-73``), which leaves the vertical position
-  ill-conditioned (cosine-only signal) — free y drifts instead of
-  converging.
+  falloff (``main.py:65-73``), and the MEASURED consequence
+  (tests/test_pose.py::test_light_y_is_degenerate_measured) is that the
+  vertical loss is a flat valley — L(y−δ) saturates immediately
+  (within 6% from δ=0.05 to δ=0.2 while the lateral loss grows ~4×) and
+  the interior dL/dy at a downward-displaced pose points AWAY from the
+  truth, so a free y drifts down instead of converging (measured:
+  y −0.15 → −0.195 over 150 Adam steps while x/z recovered).
 
-- ``--object <name>`` (e.g. ``cube``): recover a PLANAR 3-dof rigid
-  pose — (x, z) translation + yaw about the object's centroid — of a
-  scene object standing on the floor. Vertical position is excluded for
-  the same reason light mode is lateral-only: the reference estimator
-  has no inverse-square falloff, so y carries almost no signal and
-  drifts instead of converging.
+- ``--object <name>`` (e.g. ``cube``): recover a rigid pose of a scene
+  object. Default is the PLANAR 3-dof pose — (x, z) translation + yaw
+  about the object's centroid — matching objects standing on the floor;
+  ``--dof full`` optimizes the FULL 6-dof pose (xyz translation +
+  yaw/pitch/roll). Unlike the light, object silhouettes DO carry
+  vertical signal (measured: y-curvature of the cube loss is the same
+  order as lateral — 7.0e-4 vs 1.6e-3 at δ=0.05 — and a 3-dof
+  translation fit including y recovers (0.25, 0.2, 0.15) to <3e-3;
+  tests/test_pose.py), which is why full mode exists; planar stays the
+  default because the floor-contact prior makes it the robust choice
+  for the Cornell cubes.
   For axis-aligned opaque geometry the interior derivative is
   degenerate — in-plane translation doesn't move any face's plane, so
   the true gradient lives entirely in silhouette/occlusion boundary
@@ -90,6 +99,11 @@ def run(
     soft_beta_start: float | None = None,
     beta_stages: int = 4,
     pyramid: bool = True,
+    dof: str = "planar",  # object mode: "planar" (x, z, yaw) or
+    #                       "full" (xyz + yaw/pitch/roll)
+    scene_arrays=None,  # pre-built SceneArrays override (e.g. the scene
+    #                     plus synthetic clutter, scripts/soft_fit_128.py);
+    #                     scene_path still names the SDL for object lookup
     log=print,
 ) -> dict:
     import jax
@@ -104,7 +118,9 @@ def run(
     from pathtracerpython_tpu.scene import load_scene
 
     os.makedirs(out_dir, exist_ok=True)
-    scene = load_scene(scene_path)
+    scene = scene_arrays if scene_arrays is not None else load_scene(
+        scene_path
+    )
 
     def make_cfg(beta):
         # object mode needs boundary gradients -> soft estimator; light
@@ -122,11 +138,21 @@ def run(
         betas = [soft_beta] * 1
         params = jnp.asarray(init_offset, jnp.float32)[jnp.asarray([0, 2])]
     else:
-        from pathtracerpython_tpu.diff.transforms import transform_object
+        from pathtracerpython_tpu.diff.transforms import (
+            transform_object,
+            transform_object_full,
+        )
 
         obj_index = find_object_index(scene_path, object_name)
-        move = lambda sc, off, ang: transform_object(sc, obj_index, off, ang)
-        what = f"object {object_name} (#{obj_index})"
+        if dof == "full":
+            move = lambda sc, off, ang: transform_object_full(
+                sc, obj_index, off, ang
+            )
+        else:
+            move = lambda sc, off, ang: transform_object(
+                sc, obj_index, off, ang
+            )
+        what = f"object {object_name} (#{obj_index}, {dof})"
         # annealing schedule: geometric from start (wide basin) to final
         # (sharp localization); beta is a trace-time constant, so each
         # stage is its own jitted step function
@@ -141,13 +167,20 @@ def run(
             for i in range(k)
         ] if k > 1 else [soft_beta]
         io = jnp.asarray(init_offset, jnp.float32)
-        params = jnp.asarray(
-            [io[0], io[2], init_angle], jnp.float32
-        )  # planar pose: (dx, dz, yaw)
+        if dof == "full":
+            params = jnp.asarray(
+                [io[0], io[1], io[2], init_angle, 0.0, 0.0], jnp.float32
+            )  # full pose: (dx, dy, dz, yaw, pitch, roll)
+        else:
+            params = jnp.asarray(
+                [io[0], io[2], init_angle], jnp.float32
+            )  # planar pose: (dx, dz, yaw)
 
     def to_pose(params):
         if lateral_only:
             return jnp.asarray([params[0], 0.0, params[1]], jnp.float32), 0.0
+        if object_name is not None and dof == "full":
+            return params[0:3], params[3:6]
         return (
             jnp.asarray([params[0], 0.0, params[1]], jnp.float32),
             params[2],
@@ -230,7 +263,10 @@ def run(
         "final_offset_norm": float(jnp.linalg.norm(offset)),
         "final_offset": [float(x) for x in offset],
         "init_angle": float(init_angle) if not lateral_only else 0.0,
-        "final_angle": float(angle) if not lateral_only else 0.0,
+        "final_angle": (
+            0.0 if lateral_only
+            else [float(a) for a in jnp.atleast_1d(angle)]
+        ),
         "betas": betas,
         "levels": levels,
         "out_dir": out_dir,
@@ -263,6 +299,10 @@ def main(argv=None) -> int:
     p.add_argument("--no-pyramid", action="store_true",
                    help="disable the coarse-to-fine resolution pyramid "
                         "(object mode, scenes >= 96px)")
+    p.add_argument("--dof", choices=("planar", "full"), default="planar",
+                   help="object-mode pose parameterization: planar "
+                        "(x, z, yaw — floor-contact prior) or full "
+                        "(xyz + yaw/pitch/roll)")
     p.add_argument("--out", default="/tmp/fit_pose")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu — the axon "
@@ -279,6 +319,7 @@ def main(argv=None) -> int:
         out_dir=args.out, soft_beta=args.soft_beta,
         soft_beta_start=args.soft_beta_start, beta_stages=args.beta_stages,
         init_angle=args.init_angle, pyramid=not args.no_pyramid,
+        dof=args.dof,
     )
     return 0
 

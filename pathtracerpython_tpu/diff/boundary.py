@@ -141,7 +141,14 @@ class SoftHits(NamedTuple):
 
 def _sweep(n_tris, tile, body, init):
     starts = jnp.arange((n_tris + tile - 1) // tile, dtype=jnp.int32) * tile
-    return lax.scan(lambda c, s: (body(c, s), None), init, starts)[0]
+    # checkpoint: the scan's backward otherwise stacks every tile's
+    # [n_rays, tile(, 3)] plane-solve intermediates — at 128^2/5k tris
+    # that is tens of GB (HBM OOM) even when this dense sweep is only the
+    # never-taken overflow branch of the sparse path's lax.cond (both
+    # branches allocate); rematerializing bounds residuals to one tile
+    return lax.scan(
+        jax.checkpoint(lambda c, s: (body(c, s), None)), init, starts
+    )[0]
 
 
 # --- cluster-accelerated soft sweeps (see module docstring, round 3) ---
@@ -283,7 +290,11 @@ def soft_hits_sweep_sparse(
     def sparse_fn(_):
         o_s = jnp.moveaxis(o3p.reshape(3, nrb, r_blk), 1, 0)
         d_s = jnp.moveaxis(d3p.reshape(3, nrb, r_blk), 1, 0)
-        outs = lax.map(per_block, (o_s, d_s, cids, cvalid))
+        # checkpoint: without it the map's backward stacks every block's
+        # [r_blk, k*c_tri, 3] plane-solve intermediates (43x lane-padded
+        # — measured 40 GiB at 128^2/5k tris, an HBM OOM); rematerializing
+        # per block bounds residuals to one block's worth
+        outs = lax.map(jax.checkpoint(per_block), (o_s, d_s, cids, cvalid))
         return SoftHits(*(x.reshape(-1)[:n] for x in outs))
 
     def dense_fn(_):
@@ -329,7 +340,10 @@ def soft_visibility_sparse(
         o_s = jnp.moveaxis(o3p.reshape(3, nrb, r_blk), 1, 0)
         d_s = jnp.moveaxis(d3p.reshape(3, nrb, r_blk), 1, 0)
         md_s = mdp.reshape(nrb, r_blk)
-        cov = lax.map(per_block, (o_s, d_s, md_s, cids, cvalid))
+        # checkpoint: same 43x lane-padded residual-stacking OOM as
+        # soft_hits_sweep_sparse (see comment there)
+        cov = lax.map(jax.checkpoint(per_block), (o_s, d_s, md_s, cids,
+                                                  cvalid))
         return cov.reshape(-1)[:n]
 
     def dense_fn(_):

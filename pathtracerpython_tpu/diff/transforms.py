@@ -102,3 +102,50 @@ def transform_object(
     the 4-dof pose of ``apps.fit_pose --object``."""
     rotated = rotate_object(scene, obj_index, angle, axis=axis)
     return translate_object(rotated, obj_index, offset)
+
+
+def rotate_object_euler(
+    scene: SceneArrays, obj_index: int, angles, center=None,
+) -> SceneArrays:
+    """Full rotation by ``angles = (yaw, pitch, roll)`` — the composed map
+    R = Ry(yaw) · Rx(pitch) · Rz(roll) about ``center`` (default: the
+    object's centroid). Differentiable in every angle; normals/areas are
+    recomputed once after the composition."""
+    angles = jnp.asarray(angles, scene.tri_v0.dtype)
+    if center is None:
+        center = object_centroid(scene, obj_index)
+    c = jnp.asarray(center, scene.tri_v0.dtype)[None, :]
+    mask = _object_mask(scene, obj_index)[:, None]
+    dt = scene.tri_v0.dtype
+    ax_y = jnp.asarray([0.0, 1.0, 0.0], dt)
+    ax_x = jnp.asarray([1.0, 0.0, 0.0], dt)
+    ax_z = jnp.asarray([0.0, 0.0, 1.0], dt)
+
+    def rot(v):
+        p = v - c
+        p = _rodrigues(p, ax_z, angles[2])   # roll
+        p = _rodrigues(p, ax_x, angles[1])   # pitch
+        p = _rodrigues(p, ax_y, angles[0])   # yaw
+        return jnp.where(mask, p + c, v)
+
+    moved = dataclasses.replace(
+        scene,
+        tri_v0=rot(scene.tri_v0),
+        tri_v1=rot(scene.tri_v1),
+        tri_v2=rot(scene.tri_v2),
+    )
+    return recompute_derived(moved)
+
+
+def transform_object_full(
+    scene: SceneArrays, obj_index: int, offset, angles,
+) -> SceneArrays:
+    """Full 6-dof rigid pose: yaw/pitch/roll about the (original)
+    centroid, then a free 3-d translation — the general rigid-pose
+    reading of BASELINE configs[3] (geometry from
+    /root/reference/scene_reader.py:49-104). Every axis is FD-gated in
+    tests/test_pose.py; unlike the light (whose vertical position is a
+    measured flat valley under the reference's no-falloff estimator),
+    object silhouettes carry usable signal on all six axes."""
+    rotated = rotate_object_euler(scene, obj_index, angles)
+    return translate_object(rotated, obj_index, offset)

@@ -721,56 +721,15 @@ def grouped_worklist(
     GROUPS (each SMEM operand is w_cap words)."""
     enter, hit = _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk)
     c = aabb8.shape[0]
-    nrb = hit.shape[0]
     mc = min(maxc, c)
     key = jnp.where(hit, jnp.maximum(enter, 0.0), BIG)
     _, idxs = lax.top_k(-key, mc)                       # [nrb, mc]
     ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
     ncand = jnp.minimum(ncand_full, mc)
-
-    g = group
-    mc_g = -(-mc // g)
-    # pad the column axis so column k::g exists for every k
-    pad_cols = mc_g * g - mc
-    if pad_cols:
-        idxs = jnp.concatenate(
-            [idxs] + [idxs[:, -1:]] * pad_cols, axis=1
-        )
-    ng = -(-ncand // g)                                  # groups per block
-    pos, total = _list_positions(ng, mc_g, w_cap)
-    rb_ids = jnp.broadcast_to(
-        jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
-    )
-    slot = jnp.arange(mc_g, dtype=jnp.int32)[None, :]    # [1, mc_g]
-
-    packed = []
-    for k in range(g):
-        cols = idxs[:, k::g].astype(jnp.int32)           # [nrb, mc_g]
-        if k == 0:
-            word = (
-                cols
-                | (rb_ids << _CL_BITS)
-                | (1 << _ACT_BIT)
-                | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
-            )
-            clear = (1 << _ACT_BIT) | (1 << _SEG_BIT)
-        else:
-            valid_k = (slot * g + k) < ncand[:, None]
-            # invalid followers (a block's partial last group) carry the
-            # PREVIOUS group's k-th cluster, so this operand's block
-            # index is unchanged from the preceding grid step and Mosaic
-            # skips the DMA; top_k's arbitrary non-candidate ids would
-            # fetch an unrelated cluster tile for nothing. A slot-0
-            # partial group (ncand <= k) falls back to the group's own
-            # first cluster (deterministic, spatially near).
-            prev = jnp.concatenate(
-                [idxs[:, 0:1].astype(jnp.int32), cols[:, :-1]], axis=1
-            )
-            filled = jnp.where(valid_k, cols, prev)
-            word = filled | jnp.where(valid_k, 1 << _VAL_BIT, 0)
-            clear = 1 << _VAL_BIT
-        packed.append(_scatter_packed(word, pos, total, w_cap, clear=clear))
-
+    # invalid followers of a block's partial last group carry the
+    # PREVIOUS group's cluster (same block index as the preceding grid
+    # step -> Mosaic skips the DMA); see _pack_grouped
+    packed, total = _pack_grouped(idxs, ncand, w_cap, group)
     overflow = jnp.any(ncand_full > mc) | (total > w_cap)
     return packed, ncand, overflow
 
@@ -929,6 +888,288 @@ def _make_grouped_any_hit_kernel(group: int, c_tri: int):
                     occ_out[:] = jnp.maximum(occ_out[:], any_block)
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Occluder-cluster caching (round-4, VERDICT r3 task 1): the NEE any-hit
+# sweep is 67% of the 100k-config render, 99.6% of its shadow rays are
+# occluded, and proving occlusion needs a mean of 3.34 clusters per ray —
+# yet block-granularity sweeps execute ~48 (docs/PERFORMANCE.md). The
+# statistical lever the granularity axis cannot touch: an occluder that
+# blocked a lane's shadow ray LAST bounce almost always still blocks it.
+#
+# Protocol (exact by construction, any cache contents):
+#   pass 1  sweep each ray block against the top-K_GUESS clusters VOTED
+#           by its lanes' cached occluder ids (a tiny work list); lanes
+#           the pass proves occluded are FINAL — the kernel tests real
+#           triangles, so a hit is a hit;
+#   pass 2  the survivors (true-unoccluded + cache misses) compact into a
+#           fraction of the wavefront and re-sweep their FULL candidate
+#           lists (the round-2 two-pass machinery, reused).
+# Both passes also report WHICH cluster blocked each lane (the `idx`
+# kernels below) — that is the next bounce's cache. A cold cache (-1)
+# degenerates to the plain sweep via the cnt > m big-branch.
+
+K_GUESS = 8   # voted guess clusters per ray block in pass 1
+CACHE_M_DIV = 2  # pass-2 compaction cap = n / CACHE_M_DIV
+
+
+def _pack_grouped(idxs, ncand, w_cap: int, group: int):
+    """Pack per-block candidate columns ``idxs`` [nrb, mc] (first
+    ``ncand[b]`` valid per block) into G-cluster grouped work lists —
+    the scatter/tail/follower protocol of ``grouped_worklist``, factored
+    so vote-ordered (guess) lists reuse it. Returns (packed list of
+    ``group`` i32[w_cap], total_groups)."""
+    nrb, mc = idxs.shape
+    g = group
+    mc_g = -(-mc // g)
+    pad_cols = mc_g * g - mc
+    if pad_cols:
+        idxs = jnp.concatenate([idxs] + [idxs[:, -1:]] * pad_cols, axis=1)
+    ng = -(-ncand // g)
+    pos, total = _list_positions(ng, mc_g, w_cap)
+    rb_ids = jnp.broadcast_to(
+        jnp.arange(nrb, dtype=jnp.int32)[:, None], pos.shape
+    )
+    slot = jnp.arange(mc_g, dtype=jnp.int32)[None, :]
+
+    packed = []
+    for k in range(g):
+        cols = idxs[:, k::g].astype(jnp.int32)
+        if k == 0:
+            word = (
+                cols
+                | (rb_ids << _CL_BITS)
+                | (1 << _ACT_BIT)
+                | jnp.where(slot == 0, 1 << _SEG_BIT, 0)
+            )
+            clear = (1 << _ACT_BIT) | (1 << _SEG_BIT)
+        else:
+            valid_k = (slot * g + k) < ncand[:, None]
+            prev = jnp.concatenate(
+                [idxs[:, 0:1].astype(jnp.int32), cols[:, :-1]], axis=1
+            )
+            filled = jnp.where(valid_k, cols, prev)
+            word = filled | jnp.where(valid_k, 1 << _VAL_BIT, 0)
+            clear = 1 << _VAL_BIT
+        packed.append(_scatter_packed(word, pos, total, w_cap, clear=clear))
+    return packed, total
+
+
+def guess_worklist(
+    guess_lanes, *, r_blk: int, n_clusters: int, k_guess: int, group: int,
+):
+    """Work list of each block's top-``k_guess`` lane-voted clusters.
+
+    ``guess_lanes``: i32[n] cached occluder cluster per lane (-1 = none).
+    Vote order (not entry order — any-hit needs no front-to-back): the
+    most-shared occluder is tested first, maximizing early termination.
+    Returns (packed list of ``group`` i32[w_cap], ncand [nrb], w_cap)."""
+    n = guess_lanes.shape[0]
+    nrb = n // r_blk
+    gl = guess_lanes.reshape(nrb, r_blk)
+    blk = jnp.broadcast_to(
+        jnp.arange(nrb, dtype=jnp.int32)[:, None], gl.shape
+    )
+    # out-of-range / empty guesses vote into a dropped overflow column
+    cl = jnp.where((gl >= 0) & (gl < n_clusters), gl, n_clusters)
+    votes = jnp.zeros((nrb, n_clusters + 1), jnp.int32).at[
+        blk.ravel(), cl.ravel()
+    ].add(1)[:, :n_clusters]
+    k = min(k_guess, n_clusters)
+    vcnt, idxs = lax.top_k(votes, k)
+    ncand = jnp.minimum(
+        jnp.sum(votes > 0, axis=1, dtype=jnp.int32), k
+    )
+    w_cap = _cap_interp(nrb * -(-k // group))
+    packed, _ = _pack_grouped(idxs, ncand, w_cap, group)
+    return packed, ncand, w_cap
+
+
+def _make_grouped_any_hit_idx_kernel(group: int, c_tri: int):
+    """Grouped any-hit that also reports the BLOCKING cluster id per lane
+    (-1 none) — the cache-producing form of the any-hit kernel. Same
+    blocking predicate, same early termination; the id written is the
+    first blocking cluster in visit order."""
+    def kernel(*refs):
+        prefs = refs[:group]
+        tris = refs[group:2 * group]
+        aabbs = refs[2 * group:3 * group]
+        o_ref, d_ref, maxd_ref, occ_out, cl_out = refs[3 * group:]
+        w = pl.program_id(0)
+        _, _, active, seg = _decode(prefs[0][w])
+
+        @pl.when(seg == 1)
+        def _():
+            occ_out[:] = jnp.zeros_like(occ_out)
+            cl_out[:] = jnp.full_like(cl_out, -1)
+
+        @pl.when(active == 1)
+        def _():
+            cls, vals, needed = _grouped_header(
+                prefs, aabbs, group, o_ref, d_ref, maxd_ref[:], w
+            )
+            needed = needed & (occ_out[:] < 0.5)
+
+            @pl.when(jnp.any(needed))
+            def _():
+                for k in range(group):
+                    hit, t = _mt_block(tris[k], o_ref, d_ref)
+                    hit = hit & (vals[k] == 1)
+                    occluder = tris[k][:, 10:11] > 0.5
+                    blocking = hit & occluder & (t < maxd_ref[:] - 1e-4)
+                    any_block = jnp.max(
+                        jnp.where(blocking, 1.0, 0.0), axis=0, keepdims=True
+                    )
+                    newly = (any_block > 0.5) & (occ_out[:] < 0.5)
+                    cl_out[:] = jnp.where(newly, cls[k], cl_out[:])
+                    occ_out[:] = jnp.maximum(occ_out[:], any_block)
+
+    return kernel
+
+
+def _any_hit_idx_chunk(o3, d3, maxd, guess, tripack, statics):
+    """One-chunk any-hit reporting (occ bool[n], blocking cluster i32[n]).
+
+    ``guess`` i32[n] >= -1 selects the PASS-1 protocol: sweep only the
+    block's lane-voted guess clusters (no overflow possible, unresolved
+    lanes are simply not occluded yet). ``guess = None`` sweeps the full
+    candidate list (pass 2 / cache-refresh form of ``_any_hit_chunk``)."""
+    c_tri, r_blk, maxc, w_per_rb, group = statics
+    n = o3.shape[1]
+    nrb = n // r_blk
+    n_clusters = tripack.shape[0] // c_tri
+    _check_limits(nrb, n_clusters)
+    aabb8 = cluster_aabbs(tripack, c_tri)
+    if guess is not None:
+        packs, ncand, w_cap = guess_worklist(
+            guess, r_blk=r_blk, n_clusters=n_clusters, k_guess=K_GUESS,
+            group=group,
+        )
+        overflow = jnp.asarray(False)
+    else:
+        tmax_rb = jnp.max(maxd.reshape(nrb, r_blk), axis=1)
+        w_cap = _cap_interp(min(
+            nrb * max(1, w_per_rb // group), W_SMEM_ENTRIES // group
+        ))
+        packs, ncand, overflow = grouped_worklist(
+            aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
+            group=group,
+        )
+    maxd_row = maxd[None, :]
+
+    def launch(cap):
+        def go(_):
+            kernel = _make_grouped_any_hit_idx_kernel(group, c_tri)
+            gspec = _grouped_grid_spec(
+                cap, c_tri, r_blk, group, n_outs=2, n_extra_ray_ins=1,
+            )
+            occ, cl = pl.pallas_call(
+                kernel,
+                grid_spec=gspec,
+                out_shape=[
+                    jax.ShapeDtypeStruct((1, n), o3.dtype),
+                    jax.ShapeDtypeStruct((1, n), jnp.int32),
+                ],
+                cost_estimate=pl.CostEstimate(
+                    flops=90 * cap * group * c_tri * r_blk,
+                    bytes_accessed=(
+                        n * 8 + cap * group * c_tri * 12
+                    ) * 4,
+                    transcendentals=0,
+                ),
+                interpret=_interpret(),
+            )(*[p[:cap] for p in packs],
+              *([tripack] * group), *([aabb8[:, None, :]] * group),
+              o3, d3, maxd_row)
+            visited = _visited_mask(ncand, r_blk, n)
+            return (
+                jnp.where(visited, occ[0] > 0.5, False),
+                jnp.where(visited, cl[0], -1),
+            )
+        return go
+
+    def sparse_branch(_):
+        return _grid_cascade(launch, -(-ncand // group), nrb, w_cap)
+
+    def fallback_branch(_):
+        # exact but anonymous: the XLA sweep has no cluster attribution,
+        # so the cache simply is not refreshed for this chunk
+        occ = _xla_any_hit(o3, d3, maxd, tripack)
+        return occ, jnp.full((n,), -1, jnp.int32)
+
+    return lax.cond(overflow, fallback_branch, sparse_branch, None)
+
+
+def sparse_any_hit_cached_cm(
+    o3, d3_unit, max_dist, scene, guess_cl, *,
+    c_tri: int | None = None, r_blk: int | None = None,
+    maxc: int = MAXC,
+    w_per_rb: int | None = None, chunk_rb: int | None = None,
+    group: int | None = None, m_div: int | None = None,
+):
+    """Occluder-cached shadow occlusion. ``guess_cl`` i32[N] carries each
+    lane's cached blocking cluster (-1 = no guess, e.g. the first
+    bounce). Returns (occ bool[N], blocked_cl i32[N] — the cluster that
+    proved each occluded lane, -1 for unoccluded lanes / XLA-fallback
+    chunks).
+
+    occ is EXACTLY ``sparse_any_hit_cm``'s result for any guess contents:
+    pass-1 occlusions are real triangle hits, and every unresolved lane
+    re-sweeps its full candidate list in pass 2 (compacted when the
+    survivors fit ``n / m_div``; a cold cache overflows that cap and
+    takes the full sweep wholesale). Detached from autodiff like the
+    uncached entry."""
+    c_tri = C_TRI if c_tri is None else c_tri
+    r_blk = R_BLK if r_blk is None else r_blk
+    w_per_rb = W_PER_RB if w_per_rb is None else w_per_rb
+    chunk_rb = CHUNK_RB if chunk_rb is None else chunk_rb
+    m_div = CACHE_M_DIV if m_div is None else m_div  # trace-time (benches
+    #                                                  sweep the module knob)
+    w_per_rb, chunk_rb = _scaled_budget(c_tri, w_per_rb, chunk_rb)
+    n = o3.shape[1]
+    sg = lax.stop_gradient
+    tripack = sg(_pack_for_sparse(scene, c_tri))
+    o3, d3_unit = sg(o3), sg(d3_unit)
+    max_dist = sg(max_dist)
+    guess_cl = sg(guess_cl)
+    statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
+               else group)
+
+    def run(o, d, md, gu):
+        extra = [md[None, :]] + ([gu[None, :]] if gu is not None else [])
+        return _map_ray_chunks(
+            lambda oc, dc, mc, *rest: _any_hit_idx_chunk(
+                oc, dc, mc[0], rest[0][0] if rest else None, tripack,
+                statics,
+            ),
+            [o, d] + extra, r_blk, chunk_rb,
+        )
+
+    occ1, cl1 = run(o3, d3_unit, max_dist, guess_cl)
+    n_pad = occ1.shape[0]
+    pad_mult = chunk_rb * r_blk if n > chunk_rb * r_blk else r_blk
+    o3_p = _pad_repeat_last(o3, pad_mult)
+    d3_p = _pad_repeat_last(d3_unit, pad_mult)
+    md_p = _pad_repeat_last(max_dist[None, :], pad_mult)[0]
+    unfinished = ~occ1
+    m = _pass2_size(n_pad, r_blk, m_div)
+    sel, cnt = _compact_select(unfinished, m)
+
+    def small(_):
+        o2, d2, valid = _gather_parked(o3_p, d3_p, sel, cnt)
+        md2 = jnp.where(valid, jnp.take(md_p, sel), 1.0)
+        occ2, cl2 = run(o2, d2, md2, None)
+        return (
+            _scatter_back(occ1, sel, valid, occ2[:m], n_pad),
+            _scatter_back(cl1, sel, valid, cl2[:m], n_pad),
+        )
+
+    def big(_):
+        return run(o3, d3_unit, max_dist, None)
+
+    occ, cl = lax.cond(cnt <= m, small, big, None)
+    return occ[:n], cl[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,22 @@ class RenderConfig:
     # (ops/sort.py). "auto" follows the accel decision; bit-identical
     # output either way (pure lane permutation).
     sort_rays: str = "auto"
+    # Shadow-ray-specific ordering (VERDICT r3 task 4): re-sort the
+    # flattened S*N NEE lanes by their OWN (direction octant, origin
+    # morton) key before the sparse any-hit, instead of inheriting the
+    # shading wavefront's path-ray order. Pure lane permutation
+    # (bit-identical radiance); "auto" currently OFF pending the chip
+    # A/B (scripts/bench_large.py --sort-nee).
+    sort_nee: str = "auto"
+    # Occluder-cluster caching on the NEE any-hit (VERDICT r3 task 1,
+    # kernels/sparse_pallas.py round-4 section): each shading lane carries
+    # the cluster that blocked its shadow rays LAST bounce; pass 1 sweeps
+    # only the block's lane-voted guesses, survivors compact into a full
+    # pass 2. Occlusion verdicts — and hence radiance — are bit-identical
+    # to the uncached sweep for any cache contents (tests/test_nee_cache).
+    # "auto" engages it whenever the sparse hierarchy runs the NEE sweeps
+    # (fast + pallas + accel-resolved sparse, hard shadows, no geom ring).
+    nee_cache: str = "auto"
     # Opt-in SDL field honoring (CLI --honor-sdl): miss lanes pay the
     # scene's parsed ``background`` color (× path throughput) instead of
     # black. The reference parses background but ignores it
@@ -72,6 +88,8 @@ class RenderConfig:
         assert self.mode in ("fast", "reference"), self.mode
         assert self.accel in ("auto", "sparse", "none"), self.accel
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
+        assert self.nee_cache in ("auto", "on", "off"), self.nee_cache
+        assert self.sort_nee in ("auto", "on", "off"), self.sort_nee
         assert self.soft_vis_beta >= 0.0
         assert not (self.soft_vis_beta > 0.0 and self.mode == "reference"), (
             "soft visibility is a fast-mode (differentiable) feature"

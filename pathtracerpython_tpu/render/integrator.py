@@ -80,6 +80,9 @@ class RayState(NamedTuple):
     radiance3: jax.Array    # f32[3, N] accumulated pixel color
     counters: jax.Array     # u32[N] global path id = pixel_id * spp + sample
     prev_specular: jax.Array  # bool[N] (fast-mode emission rule)
+    nee_cache: jax.Array    # i32[N] occluder-cluster cache for the NEE
+    #                         any-hit (-1 = no guess); carried across
+    #                         bounces, permuted with the lane on sorts
 
 
 class Materials(NamedTuple):
@@ -119,11 +122,42 @@ def _power_numpy_semantics(base, exponent):
     return jnp.where(base >= 0.0, mag, neg_case)
 
 
+def _nee_sort_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
+    """Shadow-lane re-sorting runs where the sparse any-hit does; "auto"
+    is currently OFF (flip after the chip A/B, bench_large --sort-nee)."""
+    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+
+    if cfg.sort_nee != "on" or cfg.mode != "fast":
+        return False
+    if cfg.backend != "pallas" or cfg.geom_axis is not None:
+        return False
+    if cfg.soft_vis_beta > 0.0:
+        return False
+    return use_sparse(cfg.accel, scene.num_padded_triangles)
+
+
+def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
+    """Occluder-cluster caching runs exactly where the sparse any-hit
+    does (hard shadows through kernels/sparse_pallas.py): fast + pallas,
+    no geometry ring, no soft blend, accel resolved to sparse."""
+    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+
+    if cfg.nee_cache == "off" or cfg.mode != "fast":
+        return False
+    if cfg.backend != "pallas" or cfg.geom_axis is not None:
+        return False
+    if cfg.soft_vis_beta > 0.0:
+        return False
+    return use_sparse(cfg.accel, scene.num_padded_triangles)
+
+
 def shade_nee(
     hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
-    cfg: RenderConfig, shading_normal3=None,
+    cfg: RenderConfig, shading_normal3=None, nee_cache=None,
 ):
-    """Direct lighting via next-event estimation; returns [3, N].
+    """Direct lighting via next-event estimation; returns
+    ([3, N], updated nee_cache — the input cache unless the cached sparse
+    any-hit ran, see ``_nee_cache_enabled``).
 
     Reference contract (``main.py:23-73``): ``n_light_samples`` light
     points (triangle ∝ area, normalized-uniform barycentrics), occlusion
@@ -167,7 +201,8 @@ def shade_nee(
             point3, normal3, u, scene, s
         )[0]
         return (
-            scene.light_color[:, None] * mat.rgb3 * mean_cos[None, :]
+            scene.light_color[:, None] * mat.rgb3 * mean_cos[None, :],
+            nee_cache,
         )
 
     u = u.reshape(s, 5, n)
@@ -217,12 +252,58 @@ def shade_nee(
         ).reshape(s, n)
         mean_cos = jnp.mean(vis * cos, axis=0)  # [N]
     else:
-        occluded = any_hit_within_cm(
-            flat_o3, flat_d3, flat_dist, scene,
-            mode=cfg.mode, tile=cfg.tile, backend=cfg.backend,
-            geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
-            accel=cfg.accel,
-        ).reshape(s, n)
+        # shadow-lane-specific ordering: sort the S*N flattened lanes by
+        # their OWN key rather than the inherited shading-wavefront
+        # order; a pure permutation, un-done on the results below
+        order = None
+        if _nee_sort_enabled(scene, cfg):
+            from pathtracerpython_tpu.ops.sort import (
+                scene_bounds,
+                wavefront_sort_order,
+            )
+
+            lo3, hi3 = scene_bounds(scene)
+            order = wavefront_sort_order(
+                flat_o3, flat_d3, jnp.ones(s * n, dtype=bool), lo3, hi3
+            )
+            flat_o3 = jnp.take(flat_o3, order, axis=1)
+            flat_d3 = jnp.take(flat_d3, order, axis=1)
+            flat_dist = flat_dist[order]
+
+        if nee_cache is not None and _nee_cache_enabled(scene, cfg):
+            from pathtracerpython_tpu.kernels.sparse_pallas import (
+                sparse_any_hit_cached_cm,
+            )
+
+            # every light sample of a shading point shares its guess
+            # (they almost always share the occluder); any sample's
+            # blocker refreshes the cache, misses keep the old guess
+            guess = jnp.broadcast_to(
+                nee_cache[None, :], (s, n)
+            ).reshape(s * n)
+            if order is not None:
+                guess = guess[order]
+            occ_flat, blocked = sparse_any_hit_cached_cm(
+                flat_o3, flat_d3, flat_dist, scene, guess
+            )
+            if order is not None:
+                occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)
+                blocked = jnp.full(s * n, -1, jnp.int32).at[order].set(
+                    blocked
+                )
+            occluded = occ_flat.reshape(s, n)
+            upd = jnp.max(blocked.reshape(s, n), axis=0)
+            nee_cache = jnp.where(upd >= 0, upd, nee_cache)
+        else:
+            occ_flat = any_hit_within_cm(
+                flat_o3, flat_d3, flat_dist, scene,
+                mode=cfg.mode, tile=cfg.tile, backend=cfg.backend,
+                geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
+                accel=cfg.accel,
+            )
+            if order is not None:
+                occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)
+            occluded = occ_flat.reshape(s, n)
         mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=0)  # [N]
 
     if cfg.mode == "reference":
@@ -241,18 +322,24 @@ def shade_nee(
     else:
         direct_rgb3 = mat.rgb3
 
-    return scene.light_color[:, None] * direct_rgb3 * mean_cos[None, :]
+    return (
+        scene.light_color[:, None] * direct_rgb3 * mean_cos[None, :],
+        nee_cache,
+    )
 
 
 def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
-          cfg: RenderConfig, prev_specular, shading_normal3=None):
-    """Per-bounce color [3, N]: light hits pay the light color, surface
-    hits pay ambient + NEE (``compute_color``, ``main.py:142-145``);
-    misses pay 0. Fast mode kills the reference's emission double-count
-    (quirk §2.4-6): a light hit only pays when the path arrived from the
-    camera or a specular bounce."""
+          cfg: RenderConfig, prev_specular, shading_normal3=None,
+          nee_cache=None):
+    """Per-bounce color ([3, N], updated nee_cache): light hits pay the
+    light color, surface hits pay ambient + NEE (``compute_color``,
+    ``main.py:142-145``); misses pay 0. Fast mode kills the reference's
+    emission double-count (quirk §2.4-6): a light hit only pays when the
+    path arrived from the camera or a specular bounce."""
     ambient3 = mat.rgb3 * (mat.ka * scene.ambient)[None, :]
-    direct3 = shade_nee(hit, mat, u, scene, cfg, shading_normal3)
+    direct3, nee_cache = shade_nee(
+        hit, mat, u, scene, cfg, shading_normal3, nee_cache
+    )
     surface3 = ambient3 + direct3
 
     light3 = jnp.broadcast_to(scene.light_color[:, None], surface3.shape)
@@ -265,7 +352,7 @@ def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
         jnp.broadcast_to(scene.background[:, None], surface3.shape)
         if cfg.use_background else jnp.zeros_like(surface3)
     )
-    return jnp.where(hit.hit[None, :], color3, miss3)
+    return jnp.where(hit.hit[None, :], color3, miss3), nee_cache
 
 
 def arrival_side_normal(normal3, d_in3):
@@ -396,7 +483,10 @@ def _soft_hit_and_shade(o3, d3, state, scene, cfg, u_nee):
     def shade_rec(r: NearestHitCM):
         m = resolve_materials(scene, r.material)
         n3 = arrival_side_normal(r.normal3, normalize3(d3))
-        return shade(r, m, u_nee, scene, cfg, state.prev_specular, n3)
+        # soft mode routes occlusion through soft_visibility — the
+        # occluder cache does not apply (cache passed as None, returned
+        # unchanged)
+        return shade(r, m, u_nee, scene, cfg, state.prev_specular, n3)[0]
 
     color3 = (
         cov[None, :] * shade_rec(front)
@@ -442,6 +532,7 @@ def bounce_step(
     u_nee = rng.uniforms(nk0, nk1, state.counters, cfg.n_light_samples * 5)
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
 
+    nee_cache = state.nee_cache
     if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
         hit, color3 = _soft_hit_and_shade(
             sweep_o3, sweep_d3, state, scene, cfg, u_nee
@@ -467,8 +558,10 @@ def bounce_step(
         else:
             shading_n3 = None
 
-        color3 = shade(hit, mat, u_nee, scene, cfg, state.prev_specular,
-                       shading_n3)
+        color3, nee_cache = shade(
+            hit, mat, u_nee, scene, cfg, state.prev_specular, shading_n3,
+            state.nee_cache,
+        )
     contrib3 = jnp.where(
         state.alive[None, :], color3 * state.throughput[None, :], 0.0
     )
@@ -490,6 +583,7 @@ def bounce_step(
         radiance3=radiance3,
         counters=state.counters,
         prev_specular=state.alive & chose_spec,
+        nee_cache=nee_cache,
     )
 
 
@@ -504,6 +598,7 @@ def init_rays(origins3, directions3, counters) -> RayState:
         radiance3=jnp.zeros((3, n), origins3.dtype),
         counters=counters.astype(jnp.uint32),
         prev_specular=jnp.ones(n, dtype=bool),  # camera counts as specular
+        nee_cache=jnp.full(n, -1, jnp.int32),   # cold occluder cache
     )
 
 

@@ -87,6 +87,26 @@ def main() -> None:
         help="enable nearest two-pass with this trunc_k (per-lane bound)",
     )
     p.add_argument(
+        "--sort-nee", default="auto", choices=["auto", "on", "off"],
+        help="shadow-lane-specific ordering before the sparse any-hit "
+        "(r4 lever; RenderConfig.sort_nee — auto is currently off)",
+    )
+    p.add_argument(
+        "--nee-cache", default="auto", choices=["auto", "on", "off"],
+        help="occluder-cluster caching on the NEE any-hit (r4 lever; "
+        "RenderConfig.nee_cache)",
+    )
+    p.add_argument(
+        "--k-guess", type=int, default=None,
+        help="voted guess clusters per block in the cache's pass 1 "
+        "(sparse_pallas.K_GUESS)",
+    )
+    p.add_argument(
+        "--cache-m-div", type=int, default=None,
+        help="cache pass-2 compaction cap divisor (sparse_pallas."
+        "CACHE_M_DIV)",
+    )
+    p.add_argument(
         "--mt-impl", default="classic", choices=["classic", "plucker"],
         help="in-triangle test for BOTH the dense and (since r3) the "
         "sparse grouped sweeps: classic MT on the VPU or Plücker edge "
@@ -127,6 +147,10 @@ def main() -> None:
     if args.two_pass_nearest is not None:
         sp.TWO_PASS_NEAREST_AUTO = True
         sp.PASS1_K = args.two_pass_nearest
+    if args.k_guess is not None:
+        sp.K_GUESS = args.k_guess
+    if args.cache_m_div is not None:
+        sp.CACHE_M_DIV = args.cache_m_div
     if args.two_pass is not None:
         sp.PASS1_K = args.two_pass
         # any-hit auto now defaults OFF (TWO_PASS_ANY_AUTO, a measured
@@ -169,6 +193,7 @@ def main() -> None:
             mode="fast", n_samples=args.spp, n_bounces=args.bounces,
             backend="pallas" if on_tpu else "xla",
             accel=accel, sort_rays=sort, batch_samples=True,
+            nee_cache=args.nee_cache, sort_nee=args.sort_nee,
         )
 
         # ONE render per XLA execution: the axon-tunneled worker kills any
@@ -215,6 +240,10 @@ def main() -> None:
             "two_pass_nearest": sp.TWO_PASS_NEAREST_AUTO and sp.PASS1_K or 0,
             "mt_impl": ip.MT_IMPL,
             "order": args.order,
+            "nee_cache": args.nee_cache,
+            "sort_nee": args.sort_nee,
+            "k_guess": sp.K_GUESS,
+            "cache_m_div": sp.CACHE_M_DIV,
         }), flush=True)
 
 
