@@ -675,6 +675,21 @@ def render_rays(
         state = bounce_sweep(state)
         return carry + unscramble(state.radiance3, state.counters, False), None
 
+    if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
+        # Python-unrolled samples: wrapping the SOFT bounce body in the
+        # outer lax.scan miscompiles on XLA:TPU — measured on the v5e
+        # (scripts/repro_soft_scan.py): the scan-wrapped program's
+        # radiance diverges from the identical unwrapped program (and
+        # from CPU under either form) by up to 0.98 on 40% of Cornell
+        # pixels, which silently broke every chip-side soft pose fit
+        # (loss floor 0.027 vs the true 0.0057). Single-level scans
+        # (the bounce sweep) are unaffected; soft spp is small, so the
+        # unroll costs only program size.
+        total3 = jnp.zeros((3, n), origins.dtype)
+        for s_idx in range(s_total):
+            total3, _ = one_sample(total3, jnp.uint32(s_idx))
+        return (total3 / s_total).T
+
     total3 = lax.scan(
         one_sample,
         jnp.zeros((3, n), origins.dtype),

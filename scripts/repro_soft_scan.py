@@ -1,0 +1,78 @@
+"""Minimal repro: XLA:TPU miscompiles an outer lax.scan wrapping the
+soft-estimator bounce body (round 4).
+
+Measured on the v5e (2026-08-19, jax 0.9.0): the SAME per-sample body —
+init_rays + a single-level bounce scan over the soft path — produces
+radiance that diverges by up to 0.98 on ~40% of Cornell pixels once it
+is wrapped in an outer ``lax.scan`` over samples, versus calling the
+body directly (and versus CPU under either form, so the scan-wrapped
+compilation is the wrong one). RNG streams were ruled out (bit-identical
+eager vs jit), as were the soft sweeps, the shade path, and the
+single-level bounce scan (all clean in isolation).
+
+The production workaround lives in ``render.integrator.render_rays``:
+soft-mode sample loops are Python-unrolled. Re-run this script on
+toolchain upgrades; if it prints ``scan_wrapped max ~= direct max``,
+the workaround can be removed.
+
+Usage: python scripts/repro_soft_scan.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def main() -> None:
+    from pathtracerpython_tpu.ops import rng
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.render import integrator as ig
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.scene import load_scene
+
+    scene = load_scene("/root/reference/objs/cornellroom.sdl")
+    o, d = make_primary_rays(scene.eye, scene.ortho, 40, 40)
+    pids = jnp.arange(1600, dtype=jnp.int32)
+    cfg = RenderConfig(mode="fast", n_samples=1, n_bounces=1,
+                       soft_vis_beta=0.12)
+    key = jax.random.PRNGKey(0)
+    print("backend:", jax.default_backend())
+
+    def body_fn(sc):
+        o3, d3 = o.T, d.T
+        pid = pids.astype(jnp.uint32)
+        k0, k1 = rng.key_from_seed(key)
+
+        def bounce_sweep(state):
+            def body(st, b):
+                return ig.bounce_step(st, b, sc, cfg, k0, k1, None), None
+            return lax.scan(
+                body, state, jnp.arange(1, dtype=jnp.uint32)
+            )[0]
+
+        def one_sample(carry, sample_idx):
+            state = ig.init_rays(o3, d3, pid + sample_idx)
+            return carry + bounce_sweep(state).radiance3, None
+
+        return one_sample
+
+    def direct(sc):
+        return body_fn(sc)(jnp.zeros((3, 1600)), jnp.uint32(0))[0].T
+
+    def scan_wrapped(sc):
+        return lax.scan(
+            body_fn(sc), jnp.zeros((3, 1600)),
+            jnp.arange(1, dtype=jnp.uint32),
+        )[0].T
+
+    base = np.asarray(direct(scene))  # eager = the CPU-validated truth
+    for name, f in (("direct", direct), ("scan_wrapped", scan_wrapped)):
+        out = np.asarray(jax.jit(f)(scene))
+        dd = np.abs(out - base)
+        print(f"jit {name} vs eager: max {dd.max():.4f} "
+              f"frac>1e-2 {(dd.max(axis=1) > 1e-2).mean():.4f}")
+
+
+if __name__ == "__main__":
+    main()
