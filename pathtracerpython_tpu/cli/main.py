@@ -79,6 +79,16 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")
+    p.add_argument("--sort-nee", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="shadow-lane-specific ordering + relevance "
+                        "parking before the sparse NEE any-hit "
+                        "(bit-identical; auto = on where sparse runs)")
+    p.add_argument("--nee-cache", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="occluder-cluster caching on the sparse NEE "
+                        "any-hit (bit-identical; auto = off — measured "
+                        "dominated by --sort-nee)")
     p.add_argument("--mt-impl", choices=("classic", "plucker"),
                    default="classic",
                    help="dense-sweep in-triangle test: classic MT on the "
@@ -180,6 +190,8 @@ def main(argv=None) -> int:
         use_background=args.honor_sdl,
         accel=args.accel,
         sort_rays=args.sort_rays,
+        sort_nee=args.sort_nee,
+        nee_cache=args.nee_cache,
     )
     log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
         f"{scene.meta.width}x{scene.meta.height})")

@@ -1103,6 +1103,7 @@ def _any_hit_idx_chunk(o3, d3, maxd, guess, tripack, statics):
 
 def sparse_any_hit_cached_cm(
     o3, d3_unit, max_dist, scene, guess_cl, *,
+    relevant=None,
     c_tri: int | None = None, r_blk: int | None = None,
     maxc: int = MAXC,
     w_per_rb: int | None = None, chunk_rb: int | None = None,
@@ -1119,7 +1120,14 @@ def sparse_any_hit_cached_cm(
     re-sweeps its full candidate list in pass 2 (compacted when the
     survivors fit ``n / m_div``; a cold cache overflows that cap and
     takes the full sweep wholesale). Detached from autodiff like the
-    uncached entry."""
+    uncached entry.
+
+    ``relevant`` bool[N] (optional): lanes whose result the caller will
+    discard (False) are treated as RESOLVED after pass 1 — they never
+    reach pass 2, so exactness holds only on relevant lanes. On the 100k
+    config this is what lets warm bounces take the compacted branch at
+    all: 62% of bounce-3 lanes are pass-1-unresolved, but only 16% are
+    unresolved AND relevant (scripts/cache_stats.py)."""
     c_tri = C_TRI if c_tri is None else c_tri
     r_blk = R_BLK if r_blk is None else r_blk
     w_per_rb = W_PER_RB if w_per_rb is None else w_per_rb
@@ -1133,6 +1141,10 @@ def sparse_any_hit_cached_cm(
     o3, d3_unit = sg(o3), sg(d3_unit)
     max_dist = sg(max_dist)
     guess_cl = sg(guess_cl)
+    if relevant is not None:
+        # parked lanes must not vote their stale guesses into pass-1
+        # work lists (their blocks would sweep dead clusters)
+        guess_cl = jnp.where(sg(relevant), guess_cl, -1)
     statics = (c_tri, r_blk, maxc, w_per_rb, GROUP if group is None
                else group)
 
@@ -1153,6 +1165,10 @@ def sparse_any_hit_cached_cm(
     d3_p = _pad_repeat_last(d3_unit, pad_mult)
     md_p = _pad_repeat_last(max_dist[None, :], pad_mult)[0]
     unfinished = ~occ1
+    if relevant is not None:
+        unfinished = unfinished & jnp.pad(
+            sg(relevant), (0, n_pad - n), constant_values=False
+        )
     m = _pass2_size(n_pad, r_blk, m_div)
     sel, cnt = _compact_select(unfinished, m)
 

@@ -44,8 +44,11 @@ class RenderConfig:
     # flattened S*N NEE lanes by their OWN (direction octant, origin
     # morton) key before the sparse any-hit, instead of inheriting the
     # shading wavefront's path-ray order. Pure lane permutation
-    # (bit-identical radiance); "auto" currently OFF pending the chip
-    # A/B (scripts/bench_large.py --sort-nee).
+    # (bit-identical radiance). "auto" = ON wherever the sparse any-hit
+    # runs: chip-measured on the 100k config it cuts per-block candidate
+    # unions 5-6x (mean 246 -> 49 clusters, scripts/cache_stats.py) and
+    # the render 1115.7 -> 822.1 ms with relevance parking
+    # (BENCHLOG_r4 r4_nee_matrix).
     sort_nee: str = "auto"
     # Occluder-cluster caching on the NEE any-hit (VERDICT r3 task 1,
     # kernels/sparse_pallas.py round-4 section): each shading lane carries
@@ -53,8 +56,12 @@ class RenderConfig:
     # only the block's lane-voted guesses, survivors compact into a full
     # pass 2. Occlusion verdicts — and hence radiance — are bit-identical
     # to the uncached sweep for any cache contents (tests/test_nee_cache).
-    # "auto" engages it whenever the sparse hierarchy runs the NEE sweeps
-    # (fast + pallas + accel-resolved sparse, hard shadows, no geom ring).
+    # "auto" = OFF: chip-measured NEGATIVE on the 100k config — best
+    # cached point 977.7 ms vs the sorted uncached sweep's 822.1 ms,
+    # because front-to-back early termination on sorted blocks already
+    # captures the occluder coherence the cache targets, and pass 1 +
+    # compacted pass 2 re-pay launch and sweep overhead (BENCHLOG_r4
+    # r4_nee_matrix; kept as an opt-in priced alternative).
     nee_cache: str = "auto"
     # Opt-in SDL field honoring (CLI --honor-sdl): miss lanes pay the
     # scene's parsed ``background`` color (× path throughput) instead of

@@ -124,10 +124,11 @@ def _power_numpy_semantics(base, exponent):
 
 def _nee_sort_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
     """Shadow-lane re-sorting runs where the sparse any-hit does; "auto"
-    is currently OFF (flip after the chip A/B, bench_large --sort-nee)."""
+    is ON — the chip A/B (BENCHLOG_r4 r4_nee_matrix) measured +36% on
+    the 100k config (1115.7 -> 822.1 ms with relevance parking)."""
     from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
 
-    if cfg.sort_nee != "on" or cfg.mode != "fast":
+    if cfg.sort_nee == "off" or cfg.mode != "fast":
         return False
     if cfg.backend != "pallas" or cfg.geom_axis is not None:
         return False
@@ -137,12 +138,14 @@ def _nee_sort_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
 
 
 def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
-    """Occluder-cluster caching runs exactly where the sparse any-hit
-    does (hard shadows through kernels/sparse_pallas.py): fast + pallas,
-    no geometry ring, no soft blend, accel resolved to sparse."""
+    """Occluder-cluster caching on the sparse any-hit (hard shadows
+    through kernels/sparse_pallas.py): fast + pallas, no geometry ring,
+    no soft blend, accel resolved to sparse. "auto" is OFF — the chip
+    A/B measured the cache strictly dominated by the sorted uncached
+    sweep (RenderConfig.nee_cache); ``on`` opts in."""
     from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
 
-    if cfg.nee_cache == "off" or cfg.mode != "fast":
+    if cfg.nee_cache != "on" or cfg.mode != "fast":
         return False
     if cfg.backend != "pallas" or cfg.geom_axis is not None:
         return False
@@ -153,11 +156,21 @@ def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
 
 def shade_nee(
     hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
-    cfg: RenderConfig, shading_normal3=None, nee_cache=None,
+    cfg: RenderConfig, shading_normal3=None, nee_cache=None, relevant=None,
 ):
     """Direct lighting via next-event estimation; returns
     ([3, N], updated nee_cache — the input cache unless the cached sparse
     any-hit ran, see ``_nee_cache_enabled``).
+
+    ``relevant`` (fast mode): bool[N] lanes whose NEE result reaches the
+    radiance (alive, surface-hit, non-light). Irrelevant lanes' shadow
+    rays are PARKED (off-scene origin, zero occlusion window) before the
+    occlusion sweep — render output is bit-identical because ``shade``
+    discards their direct term (miss/light-hit lanes) or ``bounce_step``
+    masks their contribution (dead lanes), but the sweep stops paying
+    for them: measured on the 100k config, 68% of bounce-3 shadow lanes
+    are irrelevant stale-point rays that can never early-terminate
+    (unoccluded lanes scan their block's whole candidate union).
 
     Reference contract (``main.py:23-73``): ``n_light_samples`` light
     points (triangle ∝ area, normalized-uniform barycentrics), occlusion
@@ -252,6 +265,27 @@ def shade_nee(
         ).reshape(s, n)
         mean_cos = jnp.mean(vis * cos, axis=0)  # [N]
     else:
+        rel_flat = None
+        if relevant is not None and cfg.mode == "fast":
+            rel_flat = jnp.broadcast_to(
+                relevant[None, :], (s, n)
+            ).reshape(s * n)
+        if rel_flat is not None and _nee_sort_enabled(scene, cfg):
+            # PARK irrelevant lanes — but ONLY when the shadow-lane sort
+            # below will group them into their own tail blocks. Parked
+            # origins (y=1e6) inside mixed blocks blow up the sparse
+            # builder's INTERVAL slab test (the block's origin box grows
+            # to cover the park point → every cluster becomes a
+            # candidate): measured 31 s/render vs 1.1 s on the 100k
+            # config when parking without sorting.
+            from pathtracerpython_tpu.ops.sort import PARK_DIR, PARK_ORIGIN
+
+            park_o = jnp.asarray(PARK_ORIGIN, flat_o3.dtype)[:, None]
+            park_d = jnp.asarray(PARK_DIR, flat_d3.dtype)[:, None]
+            flat_o3 = jnp.where(rel_flat[None, :], flat_o3, park_o)
+            flat_d3 = jnp.where(rel_flat[None, :], flat_d3, park_d)
+            flat_dist = jnp.where(rel_flat, flat_dist, 0.0)
+
         # shadow-lane-specific ordering: sort the S*N flattened lanes by
         # their OWN key rather than the inherited shading-wavefront
         # order; a pure permutation, un-done on the results below
@@ -264,11 +298,16 @@ def shade_nee(
 
             lo3, hi3 = scene_bounds(scene)
             order = wavefront_sort_order(
-                flat_o3, flat_d3, jnp.ones(s * n, dtype=bool), lo3, hi3
+                flat_o3, flat_d3,
+                jnp.ones(s * n, dtype=bool) if rel_flat is None
+                else rel_flat,
+                lo3, hi3,
             )
             flat_o3 = jnp.take(flat_o3, order, axis=1)
             flat_d3 = jnp.take(flat_d3, order, axis=1)
             flat_dist = flat_dist[order]
+            if rel_flat is not None:
+                rel_flat = rel_flat[order]
 
         if nee_cache is not None and _nee_cache_enabled(scene, cfg):
             from pathtracerpython_tpu.kernels.sparse_pallas import (
@@ -284,7 +323,8 @@ def shade_nee(
             if order is not None:
                 guess = guess[order]
             occ_flat, blocked = sparse_any_hit_cached_cm(
-                flat_o3, flat_d3, flat_dist, scene, guess
+                flat_o3, flat_d3, flat_dist, scene, guess,
+                relevant=rel_flat,
             )
             if order is not None:
                 occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)
@@ -330,15 +370,22 @@ def shade_nee(
 
 def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
           cfg: RenderConfig, prev_specular, shading_normal3=None,
-          nee_cache=None):
+          nee_cache=None, alive=None):
     """Per-bounce color ([3, N], updated nee_cache): light hits pay the
     light color, surface hits pay ambient + NEE (``compute_color``,
     ``main.py:142-145``); misses pay 0. Fast mode kills the reference's
     emission double-count (quirk §2.4-6): a light hit only pays when the
-    path arrived from the camera or a specular bounce."""
+    path arrived from the camera or a specular bounce.
+
+    ``alive`` (fast mode): when given, the NEE occlusion sweep only pays
+    for lanes whose direct term survives the masks below — see
+    ``shade_nee``'s ``relevant``."""
+    relevant = None
+    if alive is not None and cfg.mode == "fast":
+        relevant = alive & hit.hit & ~hit.is_light
     ambient3 = mat.rgb3 * (mat.ka * scene.ambient)[None, :]
     direct3, nee_cache = shade_nee(
-        hit, mat, u, scene, cfg, shading_normal3, nee_cache
+        hit, mat, u, scene, cfg, shading_normal3, nee_cache, relevant
     )
     surface3 = ambient3 + direct3
 
@@ -560,7 +607,7 @@ def bounce_step(
 
         color3, nee_cache = shade(
             hit, mat, u_nee, scene, cfg, state.prev_specular, shading_n3,
-            state.nee_cache,
+            state.nee_cache, state.alive,
         )
     contrib3 = jnp.where(
         state.alive[None, :], color3 * state.throughput[None, :], 0.0
