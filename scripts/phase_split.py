@@ -1,0 +1,148 @@
+"""Phase split of the 100k-config render: how much of the wall is the
+NEE any-hit vs everything else, measured by ablation — the full render
+vs the identical program with the NEE occlusion sweep stubbed to
+all-unoccluded (same shapes, no sweep). The difference is the NEE
+any-hit share (including its candidate build + sort); radiance of the
+stubbed run is garbage, which is fine for a timing probe.
+
+Usage: python scripts/phase_split.py [--size 512] [--boxes 8333]
+       [--spp 2] [--bounces 3] [--sort-nee auto] [--nee-cache auto]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+
+
+def _time_render(scene, cfg, reps, shape):
+    from pathtracerpython_tpu.ops.camera import make_primary_rays
+    from pathtracerpython_tpu.render.integrator import render_rays
+
+    w, h = shape
+    origins, dirs = make_primary_rays(scene.eye, scene.ortho, w, h)
+    pixel_ids = jnp.arange(w * h, dtype=jnp.int32)
+    run_ids = jax.device_put(
+        jnp.arange(reps + 1, dtype=jnp.uint32) * 1000
+    )
+    jax.block_until_ready((origins, dirs, pixel_ids, run_ids))
+
+    @jax.jit
+    def run(sc, o, d, pids, rid):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), rid)
+        return jnp.sum(render_rays(o, d, pids, sc, cfg, key))
+
+    t0 = time.perf_counter()
+    warm = float(run(scene, origins, dirs, pixel_ids, run_ids[0]))
+    compile_s = time.perf_counter() - t0
+    assert warm == warm, "NaN render sum"
+    best = float("inf")
+    for i in range(1, reps + 1):
+        t0 = time.perf_counter()
+        float(run(scene, origins, dirs, pixel_ids, run_ids[i]))
+        best = min(best, time.perf_counter() - t0)
+    return best, compile_s
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--boxes", type=int, default=8333)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--spp", type=int, default=2)
+    p.add_argument("--bounces", type=int, default=3)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--sort-nee", default="auto")
+    p.add_argument("--nee-cache", default="auto")
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from pathtracerpython_tpu.render import integrator as integ
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.scene.arrays import pack_scene
+    from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+    w = h = args.size
+    scene = jax.device_put(pack_scene(
+        box_field_scene(n_boxes=args.boxes, width=w, height=h),
+        tri_order="morton",
+    ))
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = RenderConfig(
+        mode="fast", n_samples=args.spp, n_bounces=args.bounces,
+        backend="pallas" if on_tpu else "xla",
+        accel="sparse", sort_rays="on", batch_samples=True,
+        sort_nee=args.sort_nee, nee_cache=args.nee_cache,
+    )
+    print(f"platform: {jax.default_backend()}", file=sys.stderr)
+
+    full_s, full_c = _time_render(scene, cfg, args.reps, (w, h))
+
+    real_shade_nee = integ.shade_nee
+
+    def stub_shade_nee(hit, mat, u, scene_, cfg_, shading_normal3=None,
+                       nee_cache=None, relevant=None):
+        # identical light sampling arithmetic, occluded=False everywhere,
+        # occlusion sweep (and its sort/candidate build) removed
+        s = cfg_.n_light_samples
+        n = hit.point3.shape[1]
+        normal3 = (hit.normal3 if shading_normal3 is None
+                   else shading_normal3)
+        from pathtracerpython_tpu.ops import sampling
+        from pathtracerpython_tpu.ops.gather import cm_take
+        from pathtracerpython_tpu.ops.geometry import normalize3
+        from pathtracerpython_tpu.ops.sampling import (
+            cm_point_from_barycentric,
+            cm_sample_barycentric_uniform,
+        )
+
+        u = u.reshape(s, 5, n)
+        tri = sampling.pick_light_triangle(u[:, 0], scene_.light_area)
+        bary = cm_sample_barycentric_uniform(
+            jnp.moveaxis(u[:, 1:3], 1, 0)
+        )
+        lv = cm_take(
+            jnp.concatenate(
+                [scene_.light_v0.T, scene_.light_v1.T, scene_.light_v2.T]
+            ),
+            tri,
+        )
+        light_pt3 = cm_point_from_barycentric(
+            bary, lv[0:3], lv[3:6], lv[6:9]
+        )
+        vec3 = light_pt3 - hit.point3[:, None, :]
+        sdir3 = normalize3(vec3)
+        cos = jnp.maximum(
+            jnp.sum(sdir3 * normal3[:, None, :], axis=0), 0.0
+        )
+        mean_cos = jnp.mean(cos, axis=0)
+        return (
+            scene_.light_color[:, None] * mat.rgb3 * mean_cos[None, :],
+            nee_cache,
+        )
+
+    with mock.patch.object(integ, "shade_nee", stub_shade_nee):
+        stub_s, stub_c = _time_render(scene, cfg, args.reps, (w, h))
+
+    print(json.dumps({
+        "bench": "phase_split_ablation",
+        "platform": jax.default_backend(),
+        "sort_nee": args.sort_nee,
+        "nee_cache": args.nee_cache,
+        "full_ms": round(full_s * 1e3, 1),
+        "no_nee_sweep_ms": round(stub_s * 1e3, 1),
+        "nee_share_ms": round((full_s - stub_s) * 1e3, 1),
+        "nee_share_pct": round(100 * (full_s - stub_s) / full_s, 1),
+        "compile_s": [round(full_c, 1), round(stub_c, 1)],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

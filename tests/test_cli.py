@@ -105,3 +105,16 @@ def test_sharded_render_flag(cornell_sdl, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_nee_knob_flags(cornell_sdl, tmp_path):
+    """Round-4 NEE knobs parse and render (gates resolve them off on a
+    32-triangle scene — the flags must still round-trip into the
+    config)."""
+    out = str(tmp_path / "o.png")
+    rc = main([
+        cornell_sdl, "--out", out, "-r", "1", "-b", "2", "--quiet",
+        "--sort-nee", "on", "--nee-cache", "on",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
