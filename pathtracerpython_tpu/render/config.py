@@ -50,6 +50,19 @@ class RenderConfig:
     # the render 1115.7 -> 822.1 ms with relevance parking
     # (BENCHLOG_r4 r4_nee_matrix).
     sort_nee: str = "auto"
+    # Occlusion-hint block segregation on the sorted NEE sweep: each
+    # lane carries "all my shadow samples were occluded LAST bounce";
+    # the sort places predicted-occluded lanes first (one extra key
+    # bit), aiming to unpin any-hit blocks held open by 1-2 stray
+    # unoccluded lanes (blocks only early-exit when EVERY lane is
+    # occluded). Pure ordering, bit-identical radiance
+    # (tests/test_nee_mask.py); engages only where sort_nee does.
+    # "auto" = OFF: chip-measured small NEGATIVE on the 100k config
+    # (835.2 vs 820.1 ms, BENCHLOG_r4 r4_hint_ab) — the segregation bit
+    # splits the unpredicted minority's spatial coherence (wider unions)
+    # and skipped grid steps still pay their prologue, which together
+    # outweigh the early-exit savings. Opt-in with ``on``.
+    nee_hint: str = "auto"
     # Occluder-cluster caching on the NEE any-hit (VERDICT r3 task 1,
     # kernels/sparse_pallas.py round-4 section): each shading lane carries
     # the cluster that blocked its shadow rays LAST bounce; pass 1 sweeps
@@ -96,6 +109,7 @@ class RenderConfig:
         assert self.accel in ("auto", "sparse", "none"), self.accel
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.nee_cache in ("auto", "on", "off"), self.nee_cache
+        assert self.nee_hint in ("auto", "on", "off"), self.nee_hint
         assert self.sort_nee in ("auto", "on", "off"), self.sort_nee
         assert self.soft_vis_beta >= 0.0
         assert not (self.soft_vis_beta > 0.0 and self.mode == "reference"), (

@@ -83,6 +83,11 @@ class RayState(NamedTuple):
     nee_cache: jax.Array    # i32[N] occluder-cluster cache for the NEE
     #                         any-hit (-1 = no guess); carried across
     #                         bounces, permuted with the lane on sorts
+    nee_occ_hint: jax.Array  # bool[N] "every shadow sample of this lane
+    #                          was occluded LAST bounce" — the block-
+    #                          segregation predictor for the sorted NEE
+    #                          sweep (see shade_nee); pure ordering
+    #                          signal, never touches radiance
 
 
 class Materials(NamedTuple):
@@ -157,10 +162,19 @@ def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
 def shade_nee(
     hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
     cfg: RenderConfig, shading_normal3=None, nee_cache=None, relevant=None,
+    occ_hint=None,
 ):
     """Direct lighting via next-event estimation; returns
-    ([3, N], updated nee_cache — the input cache unless the cached sparse
-    any-hit ran, see ``_nee_cache_enabled``).
+    ([3, N], updated nee_cache, updated occ_hint — the inputs unless the
+    cached sparse any-hit / the hard-shadow sweep ran, see
+    ``_nee_cache_enabled``).
+
+    ``occ_hint`` bool[N]: last bounce's all-samples-occluded bit per
+    lane; when the shadow-lane sort runs (and ``cfg.nee_hint`` allows),
+    it segregates predicted-unoccluded lanes into their own blocks so
+    occluded-pure blocks can early-exit (ops/sort.py). Refreshed from
+    this bounce's verdicts on return; ordering-only, radiance is
+    bit-identical either way.
 
     ``relevant`` (fast mode): bool[N] lanes whose NEE result reaches the
     radiance (alive, surface-hit, non-light). Irrelevant lanes' shadow
@@ -216,6 +230,7 @@ def shade_nee(
         return (
             scene.light_color[:, None] * mat.rgb3 * mean_cos[None, :],
             nee_cache,
+            occ_hint,
         )
 
     u = u.reshape(s, 5, n)
@@ -296,12 +311,17 @@ def shade_nee(
                 wavefront_sort_order,
             )
 
+            hint_flat = None
+            if occ_hint is not None and cfg.nee_hint == "on":
+                hint_flat = jnp.broadcast_to(
+                    occ_hint[None, :], (s, n)
+                ).reshape(s * n)
             lo3, hi3 = scene_bounds(scene)
             order = wavefront_sort_order(
                 flat_o3, flat_d3,
                 jnp.ones(s * n, dtype=bool) if rel_flat is None
                 else rel_flat,
-                lo3, hi3,
+                lo3, hi3, occ_hint=hint_flat,
             )
             flat_o3 = jnp.take(flat_o3, order, axis=1)
             flat_d3 = jnp.take(flat_d3, order, axis=1)
@@ -344,6 +364,11 @@ def shade_nee(
             if order is not None:
                 occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)
             occluded = occ_flat.reshape(s, n)
+        if occ_hint is not None and cfg.mode == "fast":
+            # next bounce's segregation predictor; irrelevant lanes read
+            # False (parked lanes are never occluded) which is fine —
+            # they are parked again before the hint would matter
+            occ_hint = jnp.all(occluded, axis=0)
         mean_cos = jnp.mean(jnp.where(occluded, 0.0, cos), axis=0)  # [N]
 
     if cfg.mode == "reference":
@@ -365,27 +390,31 @@ def shade_nee(
     return (
         scene.light_color[:, None] * direct_rgb3 * mean_cos[None, :],
         nee_cache,
+        occ_hint,
     )
 
 
 def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
           cfg: RenderConfig, prev_specular, shading_normal3=None,
-          nee_cache=None, alive=None):
-    """Per-bounce color ([3, N], updated nee_cache): light hits pay the
-    light color, surface hits pay ambient + NEE (``compute_color``,
-    ``main.py:142-145``); misses pay 0. Fast mode kills the reference's
-    emission double-count (quirk §2.4-6): a light hit only pays when the
-    path arrived from the camera or a specular bounce.
+          nee_cache=None, alive=None, occ_hint=None):
+    """Per-bounce color ([3, N], updated nee_cache, updated occ_hint):
+    light hits pay the light color, surface hits pay ambient + NEE
+    (``compute_color``, ``main.py:142-145``); misses pay 0. Fast mode
+    kills the reference's emission double-count (quirk §2.4-6): a light
+    hit only pays when the path arrived from the camera or a specular
+    bounce.
 
     ``alive`` (fast mode): when given, the NEE occlusion sweep only pays
     for lanes whose direct term survives the masks below — see
-    ``shade_nee``'s ``relevant``."""
+    ``shade_nee``'s ``relevant``. ``occ_hint``: the sorted sweep's
+    block-segregation predictor, threaded through ``shade_nee``."""
     relevant = None
     if alive is not None and cfg.mode == "fast":
         relevant = alive & hit.hit & ~hit.is_light
     ambient3 = mat.rgb3 * (mat.ka * scene.ambient)[None, :]
-    direct3, nee_cache = shade_nee(
-        hit, mat, u, scene, cfg, shading_normal3, nee_cache, relevant
+    direct3, nee_cache, occ_hint = shade_nee(
+        hit, mat, u, scene, cfg, shading_normal3, nee_cache, relevant,
+        occ_hint,
     )
     surface3 = ambient3 + direct3
 
@@ -399,7 +428,7 @@ def shade(hit: NearestHitCM, mat: Materials, u, scene: SceneArrays,
         jnp.broadcast_to(scene.background[:, None], surface3.shape)
         if cfg.use_background else jnp.zeros_like(surface3)
     )
-    return jnp.where(hit.hit[None, :], color3, miss3), nee_cache
+    return jnp.where(hit.hit[None, :], color3, miss3), nee_cache, occ_hint
 
 
 def arrival_side_normal(normal3, d_in3):
@@ -580,6 +609,7 @@ def bounce_step(
     u_scatter = rng.uniforms(sk0, sk1, state.counters, 3)
 
     nee_cache = state.nee_cache
+    occ_hint = state.nee_occ_hint
     if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
         hit, color3 = _soft_hit_and_shade(
             sweep_o3, sweep_d3, state, scene, cfg, u_nee
@@ -605,9 +635,9 @@ def bounce_step(
         else:
             shading_n3 = None
 
-        color3, nee_cache = shade(
+        color3, nee_cache, occ_hint = shade(
             hit, mat, u_nee, scene, cfg, state.prev_specular, shading_n3,
-            state.nee_cache, state.alive,
+            state.nee_cache, state.alive, state.nee_occ_hint,
         )
     contrib3 = jnp.where(
         state.alive[None, :], color3 * state.throughput[None, :], 0.0
@@ -631,6 +661,7 @@ def bounce_step(
         counters=state.counters,
         prev_specular=state.alive & chose_spec,
         nee_cache=nee_cache,
+        nee_occ_hint=occ_hint,
     )
 
 
@@ -646,6 +677,7 @@ def init_rays(origins3, directions3, counters) -> RayState:
         counters=counters.astype(jnp.uint32),
         prev_specular=jnp.ones(n, dtype=bool),  # camera counts as specular
         nee_cache=jnp.full(n, -1, jnp.int32),   # cold occluder cache
+        nee_occ_hint=jnp.zeros(n, dtype=bool),  # no prediction at bounce 1
     )
 
 

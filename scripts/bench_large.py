@@ -99,6 +99,12 @@ def main() -> None:
         "by the sorted uncached sweep)",
     )
     p.add_argument(
+        "--nee-hint", default="auto", choices=["auto", "on", "off"],
+        help="occlusion-hint block segregation on the sorted NEE sweep "
+        "(RenderConfig.nee_hint — predicted-occluded lanes sort into "
+        "their own blocks so they can early-exit)",
+    )
+    p.add_argument(
         "--k-guess", type=int, default=None,
         help="voted guess clusters per block in the cache's pass 1 "
         "(sparse_pallas.K_GUESS)",
@@ -196,6 +202,7 @@ def main() -> None:
             backend="pallas" if on_tpu else "xla",
             accel=accel, sort_rays=sort, batch_samples=True,
             nee_cache=args.nee_cache, sort_nee=args.sort_nee,
+            nee_hint=args.nee_hint,
         )
 
         # ONE render per XLA execution: the axon-tunneled worker kills any
@@ -244,6 +251,7 @@ def main() -> None:
             "order": args.order,
             "nee_cache": args.nee_cache,
             "sort_nee": args.sort_nee,
+            "nee_hint": args.nee_hint,
             "k_guess": sp.K_GUESS,
             "cache_m_div": sp.CACHE_M_DIV,
         }), flush=True)

@@ -44,10 +44,11 @@ def _render_unmasked(scene, cfg):
     real_shade = integ.shade
 
     def shade_no_alive(hit, mat, u, scene_, cfg_, prev_specular,
-                       shading_normal3=None, nee_cache=None, alive=None):
+                       shading_normal3=None, nee_cache=None, alive=None,
+                       occ_hint=None):
         return real_shade(
             hit, mat, u, scene_, cfg_, prev_specular, shading_normal3,
-            nee_cache, None,
+            nee_cache, None, occ_hint,
         )
 
     with mock.patch.object(integ, "shade", shade_no_alive):
@@ -114,3 +115,17 @@ def test_irrelevant_lanes_never_hit_pass2(field_scene):
     np.testing.assert_array_equal(
         np.asarray(occ)[np.asarray(rel)], np.asarray(occ_ref)[np.asarray(rel)]
     )
+
+
+def test_occ_hint_bit_identical(field_scene):
+    """The occlusion-hint block segregation (RenderConfig.nee_hint) is a
+    pure ordering change: renders with it on and off are bit-identical."""
+    base = dict(
+        mode="fast", n_samples=2, n_bounces=3, backend="pallas",
+        accel="sparse", sort_nee="on", batch_samples=True,
+    )
+    img_on = np.asarray(render(field_scene, RenderConfig(
+        nee_hint="on", **base)))
+    img_off = np.asarray(render(field_scene, RenderConfig(
+        nee_hint="off", **base)))
+    np.testing.assert_array_equal(img_on, img_off)
