@@ -146,6 +146,57 @@ def main() -> None:
     rays_per_s = total_rays / per_render
     segments_per_s = total_segments / per_render
     target = 50e6
+
+    # Secondary number: the 100k-triangle box field through the sparse
+    # hierarchy (the round-1 "done when" config; r4: sorted+parked NEE).
+    # Reported as extra fields so BENCH json carries the large-scene
+    # state alongside the headline; never allowed to break the headline.
+    large_fields = {}
+    if on_tpu:
+        try:
+            from pathtracerpython_tpu.scene.arrays import pack_scene
+            from pathtracerpython_tpu.scene.synthetic import box_field_scene
+
+            lw = 512
+            lscene = jax.device_put(pack_scene(
+                box_field_scene(n_boxes=8333, width=lw, height=lw),
+                tri_order="morton",
+            ))
+            lcfg = RenderConfig(
+                mode="fast", n_samples=2, n_bounces=3,
+                backend="pallas", accel="sparse", sort_rays="on",
+                batch_samples=True,
+            )
+            lorig, ldirs = make_primary_rays(
+                lscene.eye, lscene.ortho, lw, lw
+            )
+            lpids = jnp.arange(lw * lw, dtype=jnp.int32)
+            jax.block_until_ready((lorig, ldirs, lpids))
+
+            # ONE render per execution (the axon worker kills long
+            # single executions — docs/PERFORMANCE.md round-3 section)
+            @jax.jit
+            def lrun(sc, o, d, p, rid):
+                key = jax.random.fold_in(jax.random.PRNGKey(0), rid)
+                return jnp.sum(render_rays(o, d, p, sc, lcfg, key))
+
+            float(lrun(lscene, lorig, ldirs, lpids, run_ids[0]))  # warm
+            lbest = float("inf")
+            for i in range(1, 3):
+                t0 = time.perf_counter()
+                float(lrun(lscene, lorig, ldirs, lpids, run_ids[i]))
+                lbest = min(lbest, time.perf_counter() - t0)
+            lper = max(lbest - overhead, 1e-9)
+            lrays = lw * lw * 2 * 3 * (1 + nee) / lper
+            large_fields = {
+                "large_scene_rays_per_s": round(lrays, 1),
+                "large_scene_vs_50M": round(lrays / target, 4),
+                "large_scene_config": "100k tris, 512^2, 2spp, 3b",
+            }
+        except Exception as e:  # noqa: BLE001 — secondary number only
+            print(f"large-scene bench failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "rays_per_s_per_chip_cornell_4bounce",
         "value": round(rays_per_s, 1),
@@ -161,6 +212,7 @@ def main() -> None:
         # at top); segments_only counts closest-hit path segments alone.
         "rays_per_s_segments_only": round(segments_per_s, 1),
         "vs_baseline_segments_only": round(segments_per_s / target, 4),
+        **large_fields,
     }))
 
 

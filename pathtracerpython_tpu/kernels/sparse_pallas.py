@@ -92,6 +92,20 @@ R_BLK = 512       # rays per block (r1024 is ~10% slower end-to-end; the
 MAXC = 4096       # per-block candidate cap; 4096 = the cl-field limit,
 #                   i.e. no cap beyond _check_limits' cluster bound
 W_PER_RB = 512    # average work-list slots per ray block in a launch
+W_PER_RB_SORTED = 128  # tighter budget for wavefronts the CALLER knows
+#                   are coherence-sorted + relevance-parked (shade_nee's
+#                   shadow lanes): their measured per-block unions are
+#                   5-6x smaller (mean 25 groups vs a 64-group budget at
+#                   g2), and the work-list grid is statically sized by
+#                   the budget — every padded inactive entry pays its
+#                   decode/slab prologue. NOT the global default:
+#                   unsorted unions overflow this into whole-chunk dense
+#                   fallbacks (the r3 storm pathology).
+CHUNK_RB_SORTED = 256  # more blocks per launch for the same call site
+#                   (fewer kernel launches; pooled-cap headroom is what
+#                   makes it safe there). Together with W_PER_RB_SORTED:
+#                   822 -> 790 ms on the 100k config (BENCHLOG_r4
+#                   r4_budget_resweep).
 # Ray blocks per sparse LAUNCH. The packed work list is a scalar-prefetch
 # operand resident in SMEM for the whole launch; v5e SMEM is 1.00 MiB
 # total and exceeding it is a clean compile error (measured round 3 —

@@ -381,9 +381,22 @@ def any_hit_within_cm(
     o3, d3_unit, max_dist, scene: SceneArrays,
     mode: str = "fast", tile: int = 128, backend: str = "xla",
     geom_axis: str | None = None, geom_axis_size: int = 0,
-    accel: str = "none",
+    accel: str = "none", w_per_rb: int | None = None,
+    chunk_rb: int | None = None,
 ) -> jax.Array:
-    """Component-major shadow occlusion; ``d3_unit`` must be normalized."""
+    """Component-major shadow occlusion; ``d3_unit`` must be normalized.
+
+    ``w_per_rb`` / ``chunk_rb``: optional sparse work-list budget
+    overrides (slots per ray block / blocks per launch). Callers who
+    KNOW their wavefront is coherence-sorted (shade_nee's sorted+parked
+    shadow lanes) pass a tighter, wider budget: the work-list grid is
+    statically sized by the budget — every padded inactive entry still
+    pays its decode/slab prologue — and more blocks per launch means
+    fewer launches. Chip-measured 822 → 790 ms on the 100k config at
+    (128, 256) vs the default (512, 128) (BENCHLOG_r4
+    r4_budget_resweep). The module defaults stay: unsorted wavefronts
+    carry 5-6x larger unions and overflow the tight budget into
+    whole-chunk dense fallbacks (the r3 storm pathology)."""
     if backend == "pallas" and mode == "fast" and geom_axis is None:
         from pathtracerpython_tpu.kernels.intersect_pallas import (
             any_hit_pallas_cm,
@@ -395,7 +408,10 @@ def any_hit_within_cm(
 
         resolved = resolve_accel(accel, scene.num_padded_triangles)
         if resolved == "sparse":
-            return sparse_any_hit_cm(o3, d3_unit, max_dist, scene)
+            return sparse_any_hit_cm(
+                o3, d3_unit, max_dist, scene, w_per_rb=w_per_rb,
+                chunk_rb=chunk_rb,
+            )
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)
     return any_hit_within(
         o3.T, d3_unit.T, max_dist, scene, mode=mode, tile=tile,

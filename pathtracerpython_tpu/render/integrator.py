@@ -329,6 +329,16 @@ def shade_nee(
             if rel_flat is not None:
                 rel_flat = rel_flat[order]
 
+        # sorted+parked shadow lanes fit a tighter work-list budget
+        # (smaller static grid, fewer prologue-only padded entries) and
+        # more blocks per launch (ops/geometry.any_hit_within_cm)
+        w_nee = chunk_nee = None
+        if order is not None:
+            from pathtracerpython_tpu.kernels import sparse_pallas as _sp
+
+            w_nee = _sp.W_PER_RB_SORTED
+            chunk_nee = _sp.CHUNK_RB_SORTED
+
         if nee_cache is not None and _nee_cache_enabled(scene, cfg):
             from pathtracerpython_tpu.kernels.sparse_pallas import (
                 sparse_any_hit_cached_cm,
@@ -344,7 +354,7 @@ def shade_nee(
                 guess = guess[order]
             occ_flat, blocked = sparse_any_hit_cached_cm(
                 flat_o3, flat_d3, flat_dist, scene, guess,
-                relevant=rel_flat,
+                relevant=rel_flat, w_per_rb=w_nee, chunk_rb=chunk_nee,
             )
             if order is not None:
                 occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)
@@ -359,7 +369,7 @@ def shade_nee(
                 flat_o3, flat_d3, flat_dist, scene,
                 mode=cfg.mode, tile=cfg.tile, backend=cfg.backend,
                 geom_axis=cfg.geom_axis, geom_axis_size=cfg.geom_axis_size,
-                accel=cfg.accel,
+                accel=cfg.accel, w_per_rb=w_nee, chunk_rb=chunk_nee,
             )
             if order is not None:
                 occ_flat = jnp.zeros(s * n, bool).at[order].set(occ_flat)

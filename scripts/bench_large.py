@@ -71,7 +71,18 @@ def main() -> None:
     p.add_argument(
         "--w-per-rb", type=int, default=None,
         help="average work-list slots per ray block (sparse_pallas."
-        "W_PER_RB, pre-budget-scaling)",
+        "W_PER_RB, pre-budget-scaling); the sorted+parked NEE path uses "
+        "its own tighter budget — see --w-sorted",
+    )
+    p.add_argument(
+        "--w-sorted", type=int, default=None,
+        help="work-list budget for the coherence-sorted NEE shadow "
+        "lanes (sparse_pallas.W_PER_RB_SORTED)",
+    )
+    p.add_argument(
+        "--chunk-sorted", type=int, default=None,
+        help="blocks per launch for the coherence-sorted NEE shadow "
+        "lanes (sparse_pallas.CHUNK_RB_SORTED)",
     )
     p.add_argument(
         "--chunk-rb", type=int, default=None,
@@ -150,6 +161,10 @@ def main() -> None:
         sp.R_BLK = args.r_blk
     if args.w_per_rb is not None:
         sp.W_PER_RB = args.w_per_rb
+    if args.w_sorted is not None:
+        sp.W_PER_RB_SORTED = args.w_sorted
+    if args.chunk_sorted is not None:
+        sp.CHUNK_RB_SORTED = args.chunk_sorted
     if args.chunk_rb is not None:
         sp.CHUNK_RB = args.chunk_rb
     if args.two_pass_nearest is not None:
