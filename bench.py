@@ -1,6 +1,16 @@
 """Headline benchmark: rays/s/chip on the Cornell box at 4 bounces.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+IMMEDIATELY after the headline measurement (VERDICT r4 weak #1: round 4
+lost its number because the large-scene section ran before the print and
+hit the driver timeout). The 100k-triangle secondary number then runs in
+a subprocess under a hard wall-clock budget; when it succeeds, a final
+merged JSON line (headline fields + large_scene fields) is printed, and
+when it fails or times out the headline line is re-printed — so whether
+the driver parses the FIRST or the LAST JSON line, and wherever the
+script is killed after the headline measurement, a valid headline is
+captured.
+
 vs_baseline is measured against the BASELINE.json north-star target of
 50M rays/s/chip (the reference publishes no numbers of its own — its pure
 Python pool is ~10²–10³ rays/s, see BASELINE.md).
@@ -20,6 +30,9 @@ Measurement notes (axon TPU tunnel):
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -27,6 +40,11 @@ import jax.numpy as jnp
 from jax import lax
 
 REPS = 10
+# Total wall-clock budget for the OPTIONAL large-scene section. The
+# headline is already printed by the time this matters; the budget only
+# bounds how long we risk on the secondary number before the driver's
+# own timeout could kill the process mid-measure.
+LARGE_BUDGET_S = 240.0
 
 
 def _fetch_overhead_s() -> float:
@@ -44,7 +62,7 @@ def _fetch_overhead_s() -> float:
 
 
 def main() -> None:
-    import sys
+    t_start = time.perf_counter()
 
     for attempt in range(3):
         try:
@@ -147,57 +165,7 @@ def main() -> None:
     segments_per_s = total_segments / per_render
     target = 50e6
 
-    # Secondary number: the 100k-triangle box field through the sparse
-    # hierarchy (the round-1 "done when" config; r4: sorted+parked NEE).
-    # Reported as extra fields so BENCH json carries the large-scene
-    # state alongside the headline; never allowed to break the headline.
-    large_fields = {}
-    if on_tpu:
-        try:
-            from pathtracerpython_tpu.scene.arrays import pack_scene
-            from pathtracerpython_tpu.scene.synthetic import box_field_scene
-
-            lw = 512
-            lscene = jax.device_put(pack_scene(
-                box_field_scene(n_boxes=8333, width=lw, height=lw),
-                tri_order="morton",
-            ))
-            lcfg = RenderConfig(
-                mode="fast", n_samples=2, n_bounces=3,
-                backend="pallas", accel="sparse", sort_rays="on",
-                batch_samples=True,
-            )
-            lorig, ldirs = make_primary_rays(
-                lscene.eye, lscene.ortho, lw, lw
-            )
-            lpids = jnp.arange(lw * lw, dtype=jnp.int32)
-            jax.block_until_ready((lorig, ldirs, lpids))
-
-            # ONE render per execution (the axon worker kills long
-            # single executions — docs/PERFORMANCE.md round-3 section)
-            @jax.jit
-            def lrun(sc, o, d, p, rid):
-                key = jax.random.fold_in(jax.random.PRNGKey(0), rid)
-                return jnp.sum(render_rays(o, d, p, sc, lcfg, key))
-
-            float(lrun(lscene, lorig, ldirs, lpids, run_ids[0]))  # warm
-            lbest = float("inf")
-            for i in range(1, 3):
-                t0 = time.perf_counter()
-                float(lrun(lscene, lorig, ldirs, lpids, run_ids[i]))
-                lbest = min(lbest, time.perf_counter() - t0)
-            lper = max(lbest - overhead, 1e-9)
-            lrays = lw * lw * 2 * 3 * (1 + nee) / lper
-            large_fields = {
-                "large_scene_rays_per_s": round(lrays, 1),
-                "large_scene_vs_50M": round(lrays / target, 4),
-                "large_scene_config": "100k tris, 512^2, 2spp, 3b",
-            }
-        except Exception as e:  # noqa: BLE001 — secondary number only
-            print(f"large-scene bench failed ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-
-    print(json.dumps({
+    headline = {
         "metric": "rays_per_s_per_chip_cornell_4bounce",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
@@ -212,8 +180,48 @@ def main() -> None:
         # at top); segments_only counts closest-hit path segments alone.
         "rays_per_s_segments_only": round(segments_per_s, 1),
         "vs_baseline_segments_only": round(segments_per_s / target, 4),
-        **large_fields,
-    }))
+    }
+    # Headline FIRST, un-droppable (VERDICT r4 task 1): anything after
+    # this line is gravy — a timeout/crash below can no longer cost the
+    # round its number.
+    print(json.dumps(headline), flush=True)
+
+    # Secondary number: the 100k-triangle box field through the sparse
+    # hierarchy (the round-1 "done when" config), delegated to
+    # scripts/bench_large.py in a subprocess under a hard timeout so a
+    # hung kernel/compile cannot stall THIS process past the driver's
+    # window. Merged fields are emitted as a final JSON line.
+    large_fields = {}
+    remaining = LARGE_BUDGET_S - (time.perf_counter() - t_start)
+    if on_tpu and remaining > 30:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(repo, "scripts", "bench_large.py"),
+                 "--configs", "sparse:on", "--reps", "3"],
+                cwd=repo, capture_output=True, text=True,
+                timeout=remaining,
+                env={**os.environ, "PYTHONPATH": repo + os.pathsep
+                     + os.environ.get("PYTHONPATH", "")},
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            row = json.loads(line)
+            large_fields = {
+                "large_scene_rays_per_s": row["rays_per_s"],
+                "large_scene_vs_50M": row["vs_50M_target"],
+                "large_scene_config": "100k tris, 512^2, 2spp, 3b",
+            }
+        except Exception as e:  # noqa: BLE001 — secondary number only
+            print(f"large-scene bench skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+    elif on_tpu:
+        print(f"large-scene bench skipped: only {remaining:.0f}s of the "
+              f"{LARGE_BUDGET_S:.0f}s budget left", file=sys.stderr)
+
+    # Final line = headline (+ large fields when measured): a last-line
+    # parser gets the same headline a first-line parser does.
+    print(json.dumps({**headline, **large_fields}), flush=True)
 
 
 if __name__ == "__main__":
