@@ -89,6 +89,12 @@ def setup(argv=None) -> argparse.Namespace:
                    help="occluder-cluster caching on the sparse NEE "
                         "any-hit (bit-identical; auto = off — measured "
                         "dominated by --sort-nee)")
+    p.add_argument("--nee-hint", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="occlusion-hint block segregation on the sorted "
+                        "NEE sweep (bit-identical; auto = off — measured "
+                        "-1.8%% on the 100k config, kept as a priced "
+                        "opt-in)")
     p.add_argument("--mt-impl", choices=("classic", "plucker"),
                    default="classic",
                    help="dense-sweep in-triangle test: classic MT on the "
@@ -192,6 +198,7 @@ def main(argv=None) -> int:
         sort_rays=args.sort_rays,
         sort_nee=args.sort_nee,
         nee_cache=args.nee_cache,
+        nee_hint=args.nee_hint,
     )
     log(f"scene: {args.scene} ({scene.meta.n_triangles} triangles, "
         f"{scene.meta.width}x{scene.meta.height})")

@@ -331,9 +331,13 @@ def shade_nee(
 
         # sorted+parked shadow lanes fit a tighter work-list budget
         # (smaller static grid, fewer prologue-only padded entries) and
-        # more blocks per launch (ops/geometry.any_hit_within_cm)
+        # more blocks per launch (ops/geometry.any_hit_within_cm).
+        # Gated on sorted AND parked (ADVICE r4): the tight budget is
+        # sized for parked wavefronts whose irrelevant lanes carry empty
+        # unions; a sorted-only sweep (shade_nee without `alive`) can
+        # overflow it into whole-chunk dense fallbacks — a perf cliff.
         w_nee = chunk_nee = None
-        if order is not None:
+        if order is not None and rel_flat is not None:
             from pathtracerpython_tpu.kernels import sparse_pallas as _sp
 
             w_nee = _sp.W_PER_RB_SORTED

@@ -17,6 +17,13 @@ plumbing; on a real slice it reports the true overlap efficiency that the
 docs/PERFORMANCE.md "Ring overlap" analysis predicts to be >99%.
 """
 
+# Run-from-anywhere bootstrap: the scripts import the package from the
+# repo root without requiring a pip install (VERDICT r4 weak #2 class).
+import os as _os, sys as _sys
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import json
 import sys

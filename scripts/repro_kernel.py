@@ -14,6 +14,13 @@ Usage:
 
 from __future__ import annotations
 
+# Run-from-anywhere bootstrap: the scripts import the package from the
+# repo root without requiring a pip install (VERDICT r4 weak #2 class).
+import os as _os, sys as _sys
+_sys.path.insert(
+    0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+
 import argparse
 import sys
 import time

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pathtracerpython_tpu.ops.camera import make_primary_rays
 from pathtracerpython_tpu.ops.geometry import (
     any_hit_within,

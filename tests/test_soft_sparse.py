@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pathtracerpython_tpu.diff import boundary as bd
 from pathtracerpython_tpu.scene.arrays import pack_scene, recompute_derived
 from pathtracerpython_tpu.scene.synthetic import box_field_scene

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pathtracerpython_tpu.kernels.intersect_pallas import (
     any_hit_pallas_cm,
     nearest_t_idx_cm,

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy
+
 from pathtracerpython_tpu.kernels import intersect_pallas as ip
 from pathtracerpython_tpu.kernels import walker_pallas as wk
 from pathtracerpython_tpu.ops.geometry import normalize3
