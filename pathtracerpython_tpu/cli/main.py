@@ -72,10 +72,14 @@ def setup(argv=None) -> argparse.Namespace:
                         "leaves (fewer candidate clusters on bounce "
                         "wavefronts)")
     p.add_argument("--accel",
-                   choices=("auto", "sparse", "none"),
+                   choices=("auto", "sparse", "walker", "none"),
                    default="auto",
                    help="acceleration hierarchy: auto engages the cluster-"
-                        "sparse sweeps for large scenes (bit-identical)")
+                        "sparse sweeps for large scenes (bit-identical); "
+                        "walker opts into the in-kernel candidate walker "
+                        "(measured slower than sparse on the v5e — "
+                        "see docs/PERFORMANCE.md — kept as a priced "
+                        "alternative)")
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")

@@ -139,9 +139,10 @@ AUTO_LARGE = "sparse"
 
 def resolve_accel(accel: str, n_padded_tris: int) -> str:
     """Resolve the config's accel choice to a concrete hierarchy:
-    "none" or "sparse". Shared by the geometry entry points and the
-    fused-kernel/sort gates so every dispatch site agrees on what
-    "auto" means."""
+    "none", "sparse", or "walker" (explicit opt-in only — never chosen
+    by "auto"; see kernels/walker_pallas.py for its measured price).
+    Shared by the geometry entry points and the fused-kernel/sort gates
+    so every dispatch site agrees on what "auto" means."""
     if accel == "auto":
         return (
             AUTO_LARGE if n_padded_tris >= SPARSE_MIN_TRIS else "none"
@@ -150,8 +151,11 @@ def resolve_accel(accel: str, n_padded_tris: int) -> str:
 
 
 def use_sparse(accel: str, n_padded_tris: int) -> bool:
-    """True when the sweeps run the cluster-sparse hierarchy."""
-    return resolve_accel(accel, n_padded_tris) == "sparse"
+    """True when the sweeps run a cluster hierarchy (sparse grid kernels
+    or the in-kernel walker) — the gate for the coherence machinery
+    (wavefront sorting, NEE shadow-lane sorting, relevance parking),
+    which serves both hierarchies identically."""
+    return resolve_accel(accel, n_padded_tris) in ("sparse", "walker")
 
 
 # Sub-tile gating: within a visited cluster, Möller–Trumbore can run per

@@ -480,9 +480,12 @@ def walker_any_hit_cm(
     o3, d3_unit, max_dist = sg(o3), sg(d3_unit), sg(max_dist)
     tiles, aabb8 = _pack_walker(scene, c_tri)
     tiles, aabb8 = sg(tiles), sg(aabb8)
-    return _map_chunks(
+    occ = _map_chunks(
         lambda oc, dc, mc: _any_hit_chunk(
             oc, dc, mc[0], tiles, aabb8, (c_tri, r_blk, w_per_rb)
         ),
         [o3, d3_unit, max_dist[None, :]], r_blk, chunk_rb,
     )
+    # the single-chunk path of _map_chunks returns the r_blk-padded
+    # wavefront untrimmed (the multi-chunk path trims)
+    return occ[:n]

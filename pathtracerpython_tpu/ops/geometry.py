@@ -350,6 +350,12 @@ def nearest_hit_cm(
         resolved = resolve_accel(accel, scene.num_padded_triangles)
         if resolved == "sparse":
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
+        elif resolved == "walker":
+            from pathtracerpython_tpu.kernels.walker_pallas import (
+                walker_nearest_t_idx_cm,
+            )
+
+            t, idx = walker_nearest_t_idx_cm(o3, d3u, scene)
         else:
             t, idx = nearest_t_idx_cm(o3, d3u, scene)
         found = idx >= 0
@@ -412,6 +418,15 @@ def any_hit_within_cm(
                 o3, d3_unit, max_dist, scene, w_per_rb=w_per_rb,
                 chunk_rb=chunk_rb,
             )
+        if resolved == "walker":
+            # the walker budgets its flat SMEM candidate list itself
+            # (W_PER_RB means candidate SLOTS there, not work items) —
+            # the sparse-tuned caller overrides do not transfer
+            from pathtracerpython_tpu.kernels.walker_pallas import (
+                walker_any_hit_cm,
+            )
+
+            return walker_any_hit_cm(o3, d3_unit, max_dist, scene)
         return any_hit_pallas_cm(o3, d3_unit, max_dist, scene)
     return any_hit_within(
         o3.T, d3_unit.T, max_dist, scene, mode=mode, tile=tile,

@@ -29,6 +29,13 @@ class RenderConfig:
     # traversals were excised in round 3 — measured 0.92M vs 5.67M
     # rays/s on the 100k config, docs/PERFORMANCE.md; git history
     # preserves them.)
+    # "walker" (explicit opt-in, never chosen by auto) swaps the sparse
+    # grid kernels for the in-kernel candidate walker
+    # (kernels/walker_pallas.py): one grid step per ray block, a dynamic
+    # while_loop over its candidates with ring-buffered manual DMA.
+    # Measured price on the v5e 100k box field: ~15% slower than sparse
+    # at its best shape pre-sorting (BENCHLOG_r3 r3_walker_kernel_ab);
+    # see BENCHLOG_r5 for the sorted-regime re-price.
     accel: str = "auto"
     # (The round-2 whole-bounce fused megakernel — one launch per bounce —
     # was excised in round 3: a measured WASH at its supported shapes
@@ -106,7 +113,8 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
-        assert self.accel in ("auto", "sparse", "none"), self.accel
+        assert self.accel in ("auto", "sparse", "walker", "none"), \
+            self.accel
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.nee_cache in ("auto", "on", "off"), self.nee_cache
         assert self.nee_hint in ("auto", "on", "off"), self.nee_hint

@@ -147,8 +147,10 @@ def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
     through kernels/sparse_pallas.py): fast + pallas, no geometry ring,
     no soft blend, accel resolved to sparse. "auto" is OFF — the chip
     A/B measured the cache strictly dominated by the sorted uncached
-    sweep (RenderConfig.nee_cache); ``on`` opts in."""
-    from pathtracerpython_tpu.kernels.sparse_pallas import use_sparse
+    sweep (RenderConfig.nee_cache); ``on`` opts in. Sparse-grid only —
+    the cached two-pass protocol is built on the sparse kernels, so the
+    walker hierarchy runs uncached."""
+    from pathtracerpython_tpu.kernels.sparse_pallas import resolve_accel
 
     if cfg.nee_cache != "on" or cfg.mode != "fast":
         return False
@@ -156,7 +158,8 @@ def _nee_cache_enabled(scene: SceneArrays, cfg: RenderConfig) -> bool:
         return False
     if cfg.soft_vis_beta > 0.0:
         return False
-    return use_sparse(cfg.accel, scene.num_padded_triangles)
+    return resolve_accel(
+        cfg.accel, scene.num_padded_triangles) == "sparse"
 
 
 def shade_nee(

@@ -139,6 +139,12 @@ def main() -> None:
         "side tests as K=8 matmuls on the MXU",
     )
     p.add_argument(
+        "--grid-divs", default=None,
+        help="comma list of short-grid cascade divisors "
+        "(sparse_pallas.GRID_DIVS, e.g. '16,8,4,2'); each divisor is one "
+        "more Mosaic compile per (kernel, chunk shape)",
+    )
+    p.add_argument(
         "--platform", default=None,
         help="jax platform override (e.g. cpu — the axon sitecustomize "
         "pins the tunneled TPU, which hangs when the tunnel is down)",
@@ -160,6 +166,10 @@ def main() -> None:
 
     ip.MT_IMPL = args.mt_impl
 
+    if args.grid_divs is not None:
+        sp.GRID_DIVS = tuple(
+            int(x) for x in args.grid_divs.split(",") if x
+        )
     if args.group is not None:
         sp.GROUP = args.group
     if args.c_tri is not None:

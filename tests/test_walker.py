@@ -91,3 +91,28 @@ def test_word_packing_roundtrip():
     e_np = np.asarray(e)
     assert (back <= e_np + 1e-30).all()          # lower bound
     assert (back >= e_np * (1.0 - 2e-3)).all()   # tight to ~2^-10
+
+
+def test_walker_render_parity_through_public_api(field_scene):
+    """accel="walker" reachable from RenderConfig (VERDICT r4 task 6):
+    the full render through the public API must match the dense sweep to
+    the grazing-pair tolerance, with the sorted+parked NEE machinery
+    engaged (use_sparse gates sorting for walker too) AND with it off."""
+    from pathtracerpython_tpu.render.config import RenderConfig
+    from pathtracerpython_tpu.render.integrator import render
+
+    base = RenderConfig(
+        mode="fast", n_samples=1, n_bounces=2, backend="pallas",
+        accel="none",
+    )
+    r0 = np.asarray(render(field_scene, base, seed=5))
+    for extra in (
+        {},                                       # sorted+parked (auto)
+        {"sort_nee": "off", "sort_rays": "off"},  # unsorted walker
+    ):
+        cfg = RenderConfig(
+            mode="fast", n_samples=1, n_bounces=2, backend="pallas",
+            accel="walker", **extra,
+        )
+        r = np.asarray(render(field_scene, cfg, seed=5))
+        np.testing.assert_allclose(r, r0, atol=1e-6)
