@@ -115,6 +115,19 @@ def setup(argv=None) -> argparse.Namespace:
                         "renders of a scene shape skip compilation)")
     p.add_argument("--metrics", action="store_true",
                    help="print a JSON metrics summary (timings, rays/s)")
+    p.add_argument("--chunk-spp", type=int, default=-1,
+                   help="render in sample chunks of this size, printing a "
+                        "progress line per chunk (index, elapsed, rays/s) "
+                        "— the TPU-batch analogue of the reference's tqdm "
+                        "bars. -1 (default) auto-chunks at 16 spp when "
+                        "-r >= 64; 0 disables chunking. NOTE: chunking "
+                        "changes the sample->RNG mapping, so the converged "
+                        "image differs from the unchunked render by MC "
+                        "noise only (utils/checkpoint.render_progressive)")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint each chunk here and auto-resume from "
+                        "the latest (requires the [ckpt] extra / orbax; "
+                        "implies chunking)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -223,10 +236,51 @@ def main(argv=None) -> int:
             )
         return render(scene, cfg, seed=seed)
 
+    chunk_spp = args.chunk_spp
+    if chunk_spp < 0:  # auto: chunk large sample counts for visibility
+        chunk_spp = 16 if cfg.n_samples >= 64 else 0
+    if args.ckpt_dir is not None and chunk_spp == 0:
+        chunk_spp = max(1, min(16, cfg.n_samples))
+    rays_per_spp = (
+        scene.meta.width * scene.meta.height
+        * cfg.n_bounces * (1 + cfg.n_light_samples)
+    )
+
+    def render_chunked(seed: int):
+        from pathtracerpython_tpu.utils.checkpoint import render_progressive
+
+        def prog(done, total, spp_done, dt):
+            log(f"chunk {done}/{total}: {spp_done} spp total, "
+                f"{dt:.2f}s, "
+                f"{rays_per_spp * chunk_spp / dt / 1e6:.1f} Mrays/s")
+
+        return render_progressive(
+            scene, cfg, cfg.n_samples, chunk_spp,
+            checkpoint_dir=args.ckpt_dir, seed=seed,
+            renderer=lambda sc, c, seed: render_once_cfg(c, seed),
+            log=log, progress=prog,
+        )
+
+    def render_once_cfg(cfg_chunk, seed: int):
+        if args.dp > 0 or args.geom > 1:
+            from pathtracerpython_tpu.parallel import make_mesh, render_sharded
+
+            mesh = make_mesh(
+                dp=args.dp if args.dp > 0 else None, geom=args.geom
+            )
+            return render_sharded(
+                scene, cfg_chunk, mesh, seed=seed,
+                geom_axis="geom" if args.geom > 1 else None,
+            )
+        return render(scene, cfg_chunk, seed=seed)
+
     metrics = MetricsLogger()
     t0 = time.perf_counter()
     with metrics.timed("render") as box:
-        radiance = render_once(args.seed)
+        if chunk_spp > 0:
+            radiance = render_chunked(args.seed)
+        else:
+            radiance = render_once(args.seed)
         box["out"] = radiance
     log(f"rendered in {time.perf_counter() - t0:.2f}s")
     # upper bound: counts every wavefront lane-bounce (dead lanes are

@@ -774,7 +774,10 @@ def render_rays(
     if cfg.soft_vis_beta > 0.0 and cfg.mode == "fast":
         # Python-unrolled samples: wrapping the SOFT bounce body in the
         # outer lax.scan miscompiles on XLA:TPU — measured on the v5e
-        # (scripts/repro_soft_scan.py): the scan-wrapped program's
+        # (scripts/repro_soft_scan.py; version-gated by
+        # tests/test_soft_scan_toolchain.py, which FAILS LOUDLY when a
+        # toolchain fixes it — that is the signal to delete this
+        # unroll): the scan-wrapped program's
         # radiance diverges from the identical unwrapped program (and
         # from CPU under either form) by up to 0.98 on 40% of Cornell
         # pixels, which silently broke every chip-side soft pose fit

@@ -52,14 +52,19 @@ def render_progressive(
     cfg,
     total_samples: int,
     chunk_samples: int,
-    checkpoint_dir: str,
+    checkpoint_dir: str | None,
     seed: int = 0,
     renderer=None,
     log=print,
+    progress=None,
 ):
     """Accumulate ``total_samples`` spp in chunks, checkpointing after each.
 
     Resumes automatically from the latest checkpoint in ``checkpoint_dir``.
+    ``checkpoint_dir=None`` skips checkpointing entirely (pure
+    progress-chunked rendering — no orbax dependency, no resume); the
+    chunk→seed mapping is identical either way, so a checkpointed run
+    bit-matches an uncheckpointed one at the same ``chunk_samples``.
     Returns radiance [W*H, 3] (mean over all completed samples). Sample
     chunk i uses RNG seed ``fold_in(seed, i)``, so for a FIXED
     ``chunk_samples`` the result is independent of how many times the job
@@ -69,8 +74,16 @@ def render_progressive(
     ``total_samples``, the final chunk still renders a full
     ``chunk_samples`` — the returned mean is over ``samples_done`` (which
     may exceed ``total_samples``), never over a partial weighting.
+
+    ``progress``: optional callback
+    ``progress(chunk_done, n_chunks, samples_done, chunk_seconds)``
+    invoked after each chunk completes (device-synced timing) — the
+    CLI's per-chunk status line (the reference streams tqdm bars per
+    phase, ``/root/reference/main.py:199-224``; at TPU batch sizes the
+    natural progress granularity is the sample chunk).
     """
     import dataclasses
+    import time
 
     from pathtracerpython_tpu.render.integrator import render
 
@@ -86,16 +99,18 @@ def render_progressive(
         "samples_done": jnp.zeros((), jnp.int32),
         "chunks_done": jnp.zeros((), jnp.int32),
     }
-    mgr = CheckpointManager(checkpoint_dir)
-    latest = mgr.latest_step()
-    if latest is not None:
-        state = mgr.restore(latest, template)
-        log(f"resumed at chunk {int(state['chunks_done'])}/{n_chunks}")
-    else:
-        state = template
+    mgr = None
+    state = template
+    if checkpoint_dir is not None:
+        mgr = CheckpointManager(checkpoint_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(latest, template)
+            log(f"resumed at chunk {int(state['chunks_done'])}/{n_chunks}")
 
     start = int(state["chunks_done"])
     for chunk in range(start, n_chunks):
+        t0 = time.perf_counter()
         chunk_seed = jax.random.fold_in(jax.random.PRNGKey(seed), chunk)
         chunk_seed = int(jax.random.randint(
             chunk_seed, (), 0, np.iinfo(np.int32).max
@@ -108,8 +123,12 @@ def render_progressive(
             "chunks_done": jnp.asarray(chunk + 1, jnp.int32),
         }
         jax.block_until_ready(state)
-        mgr.save(chunk + 1, state)
-        log(f"chunk {chunk + 1}/{n_chunks} checkpointed "
-            f"({int(state['samples_done'])} spp)")
+        dt = time.perf_counter() - t0
+        if mgr is not None:
+            mgr.save(chunk + 1, state)
+            log(f"chunk {chunk + 1}/{n_chunks} checkpointed "
+                f"({int(state['samples_done'])} spp)")
+        if progress is not None:
+            progress(chunk + 1, n_chunks, int(state["samples_done"]), dt)
 
     return state["radiance_sum"] / jnp.maximum(state["samples_done"], 1)

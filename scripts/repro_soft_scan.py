@@ -74,11 +74,36 @@ def main() -> None:
         )[0].T
 
     base = np.asarray(direct(scene))  # eager = the CPU-validated truth
+    results = {}
     for name, f in (("direct", direct), ("scan_wrapped", scan_wrapped)):
         out = np.asarray(jax.jit(f)(scene))
         dd = np.abs(out - base)
         print(f"jit {name} vs eager: max {dd.max():.4f} "
               f"frac>1e-2 {(dd.max(axis=1) > 1e-2).mean():.4f}")
+        results[name] = {
+            "max_abs_diff": float(dd.max()),
+            "frac_bad_pixels": float((dd.max(axis=1) > 1e-2).mean()),
+        }
+
+    # machine-readable summary for tests/test_soft_scan_toolchain.py
+    import json
+
+    try:
+        import importlib.metadata as md
+
+        libtpu = next(
+            (md.version(p) for p in ("libtpu", "libtpu-nightly")
+             if any(d.name == p for d in md.distributions())),
+            "unknown",
+        )
+    except Exception:  # noqa: BLE001
+        libtpu = "unknown"
+    print(json.dumps({
+        "backend": jax.default_backend(),
+        "jax": jax.__version__,
+        "libtpu": libtpu,
+        **results,
+    }), flush=True)
 
 
 if __name__ == "__main__":

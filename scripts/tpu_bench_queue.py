@@ -72,7 +72,50 @@ R3_STEPS = [
       "--c-tri", "64", "--r-blk", "128"], 1200),
 ]
 
-STEPS = R3_STEPS
+# Round-5 campaign (VERDICT r4 task 3): attack the executed/exact ~10x
+# gap on the 100k config under the sorted+parked NEE regime. Levers:
+# (a) the in-kernel walker re-priced on sorted wavefronts (candidate
+#     unions are 5-6x shorter than when r3 priced it);
+# (b) bigger work-item groups — the sorted sweeps are per-grid-step
+#     bound (~1.6 us/step ~ DMA latency), so g4/g8 amortize the step
+#     cost over 2-4x the MT work; the r4 g4 row "did not complete" is
+#     suspected COMPILE time (4 prefetch operands x 3 cascade variants
+#     x kernels), so steps run twice — the rerun prices warm-cache;
+# (c) finer short-grid cascade divisors (trim the ~20-60% inactive tail
+#     the (8, 2) divisors leave);
+# (d) deeper two-pass truncation on the any-hit (r4 only priced k=4).
+R5_STEPS = [
+    ("r5_base",
+     [sys.executable, BL, "--configs", "sparse:on"], 1800),
+    ("r5_walker_sorted",
+     [sys.executable, BL, "--configs", "walker:on"], 2400),
+    ("r5_walker_unsorted",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--sort-nee", "off"], 2400),
+    ("r5_g4_cold",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4"],
+     3000),
+    ("r5_g4",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "4"],
+     1800),
+    ("r5_g8_cold",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "8"],
+     3000),
+    ("r5_g8",
+     [sys.executable, BL, "--configs", "sparse:on", "--group", "8"],
+     1800),
+    ("r5_divs_fine",
+     [sys.executable, BL, "--configs", "sparse:on",
+      "--grid-divs", "16,8,4,2"], 3000),
+    ("r5_twopass8",
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "8"],
+     2400),
+    ("r5_twopass16",
+     [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "16"],
+     2400),
+]
+
+STEPS = R5_STEPS
 
 
 def log_line(log_path: str, obj: dict) -> None:

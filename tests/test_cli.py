@@ -118,3 +118,37 @@ def test_nee_knob_flags(cornell_sdl, tmp_path):
     ])
     assert rc == 0
     assert os.path.exists(out)
+
+
+def test_chunked_progress_lines(cornell_sdl, tmp_path, capsys):
+    """--chunk-spp prints one status line per chunk (VERDICT r4 task 8 —
+    the TPU-batch analogue of the reference's tqdm bars,
+    /root/reference/main.py:199-224) and --quiet silences them."""
+    out = str(tmp_path / "o.png")
+    rc = main([
+        cornell_sdl, "--out", out, "-r", "8", "-b", "1",
+        "--chunk-spp", "4",
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.splitlines()
+    prog = [ln for ln in lines if ln.startswith("chunk ")]
+    assert len(prog) == 2, lines
+    assert "1/2" in prog[0] and "2/2" in prog[1]
+    assert "Mrays/s" in prog[0]
+
+    rc = main([
+        cornell_sdl, "--out", out, "-r", "8", "-b", "1",
+        "--chunk-spp", "4", "--quiet",
+    ])
+    assert rc == 0
+    assert capsys.readouterr().out == ""
+
+
+def test_nee_hint_flag(cornell_sdl, tmp_path):
+    out = str(tmp_path / "o.png")
+    rc = main([
+        cornell_sdl, "--out", out, "-r", "1", "-b", "2", "--quiet",
+        "--nee-hint", "on",
+    ])
+    assert rc == 0
+    assert os.path.exists(out)
