@@ -139,6 +139,20 @@ def main() -> None:
         "side tests as K=8 matmuls on the MXU",
     )
     p.add_argument(
+        "--walker-c-tri", type=int, default=None,
+        help="walker tile granularity (walker_pallas.C_TRI; default 256 "
+        "= the r3 measured-best shape)",
+    )
+    p.add_argument(
+        "--walker-nbuf", type=int, default=None,
+        help="walker DMA ring depth (walker_pallas.N_BUF)",
+    )
+    p.add_argument(
+        "--walker-w-per-rb", type=int, default=None,
+        help="walker flat-list candidate slots per ray block "
+        "(walker_pallas.W_PER_RB)",
+    )
+    p.add_argument(
         "--grid-divs", default=None,
         help="comma list of short-grid cascade divisors "
         "(sparse_pallas.GRID_DIVS, e.g. '16,8,4,2'); each divisor is one "
@@ -170,6 +184,16 @@ def main() -> None:
         sp.GRID_DIVS = tuple(
             int(x) for x in args.grid_divs.split(",") if x
         )
+    if (args.walker_c_tri is not None or args.walker_nbuf is not None
+            or args.walker_w_per_rb is not None):
+        from pathtracerpython_tpu.kernels import walker_pallas as wk
+
+        if args.walker_c_tri is not None:
+            wk.C_TRI = args.walker_c_tri
+        if args.walker_nbuf is not None:
+            wk.N_BUF = args.walker_nbuf
+        if args.walker_w_per_rb is not None:
+            wk.W_PER_RB = args.walker_w_per_rb
     if args.group is not None:
         sp.GROUP = args.group
     if args.c_tri is not None:

@@ -113,6 +113,17 @@ R5_STEPS = [
     ("r5_twopass16",
      [sys.executable, BL, "--configs", "sparse:on", "--two-pass", "16"],
      2400),
+    # walker shape sweep (its r3-best c256 already measures ~par with
+    # sparse under sorting — the first time any alternative matched)
+    ("r5_walker_c128",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-c-tri", "128"], 2400),
+    ("r5_walker_c512",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-c-tri", "512"], 2400),
+    ("r5_walker_nbuf8",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-nbuf", "8"], 2400),
 ]
 
 STEPS = R5_STEPS

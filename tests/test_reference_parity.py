@@ -143,3 +143,32 @@ def test_baseline_config0_shape(tmp_path):
     corr = np.corrcoef(ours_mean.ravel(), gold_mean.ravel())[0, 1]
     self_corr = np.corrcoef(ours[0].ravel(), ours[1].ravel())[0, 1]
     assert corr > self_corr - 0.002, (corr, self_corr)
+
+
+def test_converged_radiance_bias_bound_b4(cornell_scene):
+    """North-star-depth BIAS gate (VERDICT r4 task 4): same methodology
+    as the b=2 gate — three independent reference captures at r64/b4
+    (seeds 9/10/11) averaged into R̄, three of our own seeds into Ō; for
+    unbiased estimators of the same quantity E|Ō − R̄| = d_self/√3, so
+    the 1.15 margin bounds systematic bias at ~0.55x the √3-reduced
+    per-pixel noise floor. Four bounces compound every reference-mode
+    scatter quirk (y-axis frames, Phong-toward-eye, TAU, numpy power
+    semantics — /root/reference/main.py:192-268), which the b=2 gate
+    only exercised through two rounds of compounding; this is the
+    BASELINE configs[1] bounce depth."""
+    goldens = [_load_golden(64, 4, seed=s) for s in (9, 10, 11)]
+    cfg = RenderConfig(mode="reference", n_samples=64, n_bounces=4)
+    ours = [
+        np.asarray(render(cornell_scene, cfg, seed=s)) for s in (9, 123, 456)
+    ]
+    d_self = np.mean([
+        np.abs(ours[i] - ours[j]).mean()
+        for i, j in ((0, 1), (0, 2), (1, 2))
+    ])
+    ours_mean = np.mean(ours, axis=0)
+    gold_mean = np.mean(goldens, axis=0)
+    diff = np.abs(ours_mean - gold_mean)
+    floor = d_self / np.sqrt(3.0)
+    assert diff.mean() < floor * 1.15, (diff.mean(), floor)
+    corr = np.corrcoef(ours_mean.ravel(), gold_mean.ravel())[0, 1]
+    assert corr > 0.999, corr
