@@ -10,9 +10,15 @@ analogue of ring attention, with triangles playing the role of KV context.
 """
 
 from pathtracerpython_tpu.parallel.mesh import make_mesh
+from pathtracerpython_tpu.parallel.pipeline import render_pipelined
 from pathtracerpython_tpu.parallel.shard import (
     render_sharded,
     scene_partition_specs,
 )
 
-__all__ = ["make_mesh", "render_sharded", "scene_partition_specs"]
+__all__ = [
+    "make_mesh",
+    "render_pipelined",
+    "render_sharded",
+    "scene_partition_specs",
+]

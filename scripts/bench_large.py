@@ -178,6 +178,11 @@ def main() -> None:
     from pathtracerpython_tpu.kernels import intersect_pallas as ip
     from pathtracerpython_tpu.kernels import sparse_pallas as sp
 
+    def _wk():
+        from pathtracerpython_tpu.kernels import walker_pallas as wk
+
+        return wk
+
     ip.MT_IMPL = args.mt_impl
 
     if args.grid_divs is not None:
@@ -310,6 +315,14 @@ def main() -> None:
             "nee_hint": args.nee_hint,
             "k_guess": sp.K_GUESS,
             "cache_m_div": sp.CACHE_M_DIV,
+            # walker rows: the sp.* knobs above do not apply — log the
+            # walker module's own effective shape
+            **({
+                "walker_c_tri": _wk().C_TRI,
+                "walker_r_blk": _wk().R_BLK,
+                "walker_n_buf": _wk().N_BUF,
+                "walker_w_per_rb": _wk().W_PER_RB,
+            } if accel == "walker" else {}),
         }), flush=True)
 
 
