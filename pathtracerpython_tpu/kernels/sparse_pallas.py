@@ -724,19 +724,80 @@ GROUP = 2  # default work-item group size (>1 = grouped path). Chip
 #            G=2 5.27 Mrays/s vs G=1 4.49 / G=4 5.24 — grouping amortizes
 #            the per-grid-step overhead that bounds the sparse sweeps.
 
+# Exact-refinement of the candidate lists (round 5): the interval slab
+# test unions a block's (origin box x direction box) RAY FAMILY against
+# each cluster — conservative by design, and the measured sorted-NEE
+# unions (mean 49 clusters/block) are ~15x the per-ray proof depth. The
+# r5 queue showed the sweeps are bound by per-cluster-VISIT work (g4 is
+# a wash: halving grid steps at the same cluster count moved nothing),
+# so the remaining lever is fewer visits. REFINE_K > 0 re-tests the
+# first REFINE_K front-to-back candidates of every block with the
+# EXACT per-lane slab test (the same test the kernel's `needed` gate
+# runs) and drops members no lane hits inside its own window. Safe by
+# construction: a dropped member would have had `needed == false` for
+# every lane in-kernel — the MT tile was never going to run; only its
+# prologue cost is removed. The filter uses a 10x-wider epsilon than
+# the kernel so XLA-vs-Mosaic ulp differences cannot drop a
+# kernel-visible member. 0 = off.
+REFINE_K = 0
+REFINE_CHUNK_RB = 256  # blocks per lax.map chunk in the refine pass
+#                        (bounds the [chunk, K, r_blk] intermediates)
+
 _VAL_BIT = _CL_BITS  # grouped follower words: [valid 1][cl 12]
+
+
+def _refine_exact(aabb8, o3p, d3p, maxd_lanes, idxs, ncand, r_blk):
+    """Drop the front-to-back candidates that NO lane exactly slab-hits
+    inside its own window (see REFINE_K). Only the first REFINE_K slots
+    per block are tested (sorted unions are short — mean 25 groups);
+    later slots are kept unconditionally. Stable: survivors keep their
+    front-to-back order. Returns (idxs', ncand')."""
+    nrb, mc = idxs.shape
+    k = min(REFINE_K, mc)
+    idx_k = idxs[:, :k]
+    boxes = aabb8[idx_k]                                  # [nrb, k, 8]
+    o = o3p.reshape(3, nrb, 1, r_blk)
+    d = d3p.reshape(3, nrb, 1, r_blk)
+    blo = jnp.moveaxis(boxes[:, :, 0:3], -1, 0)[..., None]  # [3, nrb, k, 1]
+    bhi = jnp.moveaxis(boxes[:, :, 3:6], -1, 0)[..., None]
+    enter, exit_ = _lane_slab_enter_exit(o, d, blo, bhi)  # [nrb, k, r_blk]
+    # 10x the kernel's epsilon: XLA-vs-Mosaic fma contraction may move a
+    # boundary crossing by ulps — never drop a member the kernel's own
+    # `needed` gate could see as hit
+    eps = SLAB_EPS * 10.0
+    en0 = jnp.maximum(enter, 0.0)
+    hit = exit_ >= en0 - eps
+    if maxd_lanes is not None:
+        md = maxd_lanes.reshape(nrb, 1, r_blk)
+        hit = hit & (en0 <= md + eps)
+    hit_any = jnp.any(hit, axis=2)                        # [nrb, k]
+
+    slot = jnp.arange(mc, dtype=jnp.int32)[None, :]
+    in_list = slot < ncand[:, None]
+    keep = in_list & jnp.pad(
+        hit_any, ((0, 0), (0, mc - k)), constant_values=True
+    )
+    # stable compaction: kept slots first, front-to-back order preserved
+    order = jnp.argsort(~keep, axis=1, stable=True)
+    idxs2 = jnp.take_along_axis(idxs, order, axis=1)
+    return idxs2, jnp.sum(keep, axis=1, dtype=jnp.int32)
 
 
 def grouped_worklist(
     aabb8, o3p, d3p, tmax_rb, *, r_blk: int, maxc: int, w_cap: int,
-    group: int,
+    group: int, maxd_lanes=None,
 ):
     """Candidate work list in G-cluster groups.
 
     Returns (packed list[i32[w_cap]] of length ``group``, ncand, overflow).
     Word 0 carries [seg][active][rb][cl0] (slot-0 cluster of a group is
     always valid); follower word k carries [valid][cl_k]. ``w_cap`` is in
-    GROUPS (each SMEM operand is w_cap words)."""
+    GROUPS (each SMEM operand is w_cap words).
+
+    ``maxd_lanes`` f32[n] (optional): per-lane occlusion windows for the
+    REFINE_K exact-refinement filter (any-hit sweeps); None refines by
+    slab hit alone (nearest sweeps — the kernel's dynamic best-t bound
+    cannot be known statically)."""
     enter, hit = _candidate_enter_hit(aabb8, o3p, d3p, tmax_rb, r_blk)
     c = aabb8.shape[0]
     mc = min(maxc, c)
@@ -744,6 +805,10 @@ def grouped_worklist(
     _, idxs = lax.top_k(-key, mc)                       # [nrb, mc]
     ncand_full = jnp.sum(hit, axis=1, dtype=jnp.int32)  # [nrb]
     ncand = jnp.minimum(ncand_full, mc)
+    if REFINE_K > 0:
+        idxs, ncand = _refine_exact(
+            aabb8, o3p, d3p, maxd_lanes, idxs, ncand, r_blk
+        )
     # invalid followers of a block's partial last group carry the
     # PREVIOUS group's cluster (same block index as the preceding grid
     # step -> Mosaic skips the DMA); see _pack_grouped
@@ -1072,7 +1137,7 @@ def _any_hit_idx_chunk(o3, d3, maxd, guess, tripack, statics):
         ))
         packs, ncand, overflow = grouped_worklist(
             aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
-            group=group,
+            group=group, maxd_lanes=maxd,
         )
     maxd_row = maxd[None, :]
 
@@ -1671,7 +1736,7 @@ def _any_hit_chunk(o3, d3, maxd, tripack, statics):
         ))
         packs, ncand, overflow = grouped_worklist(
             aabb8, o3, d3, tmax_rb, r_blk=r_blk, maxc=maxc, w_cap=w_cap,
-            group=group,
+            group=group, maxd_lanes=maxd,
         )
         next_entry = jnp.full((nrb,), BIG, o3.dtype)
         drops = None

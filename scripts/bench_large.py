@@ -139,6 +139,13 @@ def main() -> None:
         "side tests as K=8 matmuls on the MXU",
     )
     p.add_argument(
+        "--refine-k", type=int, default=None,
+        help="exact-refinement depth on the candidate lists "
+        "(sparse_pallas.REFINE_K): re-test the first K front-to-back "
+        "members per block with the per-lane slab test and drop members "
+        "no lane hits (fewer kernel visits at XLA-side filter cost)",
+    )
+    p.add_argument(
         "--walker-c-tri", type=int, default=None,
         help="walker tile granularity (walker_pallas.C_TRI; default 256 "
         "= the r3 measured-best shape)",
@@ -185,6 +192,8 @@ def main() -> None:
 
     ip.MT_IMPL = args.mt_impl
 
+    if args.refine_k is not None:
+        sp.REFINE_K = args.refine_k
     if args.grid_divs is not None:
         sp.GRID_DIVS = tuple(
             int(x) for x in args.grid_divs.split(",") if x
@@ -315,6 +324,7 @@ def main() -> None:
             "nee_hint": args.nee_hint,
             "k_guess": sp.K_GUESS,
             "cache_m_div": sp.CACHE_M_DIV,
+            "refine_k": sp.REFINE_K,
             # walker rows: the sp.* knobs above do not apply — log the
             # walker module's own effective shape
             **({

@@ -124,6 +124,14 @@ R5_STEPS = [
     ("r5_walker_nbuf8",
      [sys.executable, BL, "--configs", "walker:on",
       "--walker-nbuf", "8"], 2400),
+    # exact-refinement of candidate lists (g4-wash finding: the sweeps
+    # are per-cluster-visit bound, so drop the members no lane can hit)
+    ("r5_refine32",
+     [sys.executable, BL, "--configs", "sparse:on", "--refine-k", "32"],
+     2400),
+    ("r5_refine96",
+     [sys.executable, BL, "--configs", "sparse:on", "--refine-k", "96"],
+     2400),
 ]
 
 STEPS = R5_STEPS
