@@ -123,16 +123,21 @@ def main() -> None:
             [o, d] + extra, r_blk, chunk_rb,
         )
 
-    def union_sizes(o, d, md):
+    def union_sizes(o, d, md, refine=False):
         nrb = o.shape[1] // r_blk
         tmax_rb = jnp.max(md.reshape(nrb, r_blk), axis=1)
         w_cap = sp._cap_interp(min(
             nrb * max(1, w_per_rb // group), sp.W_SMEM_ENTRIES // group
         ))
-        _, ncand, _ = sp.grouped_worklist(
-            aabb8, o, d, tmax_rb, r_blk=r_blk, maxc=sp.MAXC, w_cap=w_cap,
-            group=group,
-        )
+        old_k = sp.REFINE_K
+        sp.REFINE_K = 4096 if refine else 0  # trace-time module knob
+        try:
+            _, ncand, _ = sp.grouped_worklist(
+                aabb8, o, d, tmax_rb, r_blk=r_blk, maxc=sp.MAXC,
+                w_cap=w_cap, group=group, maxd_lanes=md,
+            )
+        finally:
+            sp.REFINE_K = old_k
         return ncand
 
     @functools.partial(jax.jit, static_argnums=1)
@@ -188,6 +193,14 @@ def main() -> None:
             jnp.take(flat_d3, sorder, axis=1),
             flat_dist[sorder],
         )
+        # sorted + exact-refined (the round-5 REFINE_K lever): how much
+        # of the sorted interval union is slop no lane can hit?
+        ncand_ref = union_sizes(
+            jnp.take(flat_o3, sorder, axis=1),
+            jnp.take(flat_d3, sorder, axis=1),
+            flat_dist[sorder],
+            refine=True,
+        )
         return dict(
             live_frac=jnp.mean(live),
             occ_frac=jnp.mean(occ_t),
@@ -206,6 +219,11 @@ def main() -> None:
                 ncand_srt.astype(jnp.float32), 90
             ),
             ncand_srt_max=jnp.max(ncand_srt),
+            ncand_ref_mean=jnp.mean(ncand_ref.astype(jnp.float32)),
+            ncand_ref_p90=jnp.percentile(
+                ncand_ref.astype(jnp.float32), 90
+            ),
+            ncand_ref_max=jnp.max(ncand_ref),
         )
 
     @functools.partial(jax.jit, static_argnums=1)
