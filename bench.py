@@ -199,7 +199,9 @@ def main() -> None:
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(repo, "scripts", "bench_large.py"),
-                 "--configs", "sparse:on", "--reps", "3"],
+                 # "auto" = the production default hierarchy (walker
+                 # since r5 — BENCHLOG_r5 r5_walker_c128 beats sparse)
+                 "--configs", "auto:on", "--reps", "3"],
                 cwd=repo, capture_output=True, text=True,
                 timeout=remaining,
                 env={**os.environ, "PYTHONPATH": repo + os.pathsep

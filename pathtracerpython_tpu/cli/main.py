@@ -74,12 +74,12 @@ def setup(argv=None) -> argparse.Namespace:
     p.add_argument("--accel",
                    choices=("auto", "sparse", "walker", "none"),
                    default="auto",
-                   help="acceleration hierarchy: auto engages the cluster-"
-                        "sparse sweeps for large scenes (bit-identical); "
-                        "walker opts into the in-kernel candidate walker "
-                        "(measured slower than sparse on the v5e — "
-                        "see docs/PERFORMANCE.md — kept as a priced "
-                        "alternative)")
+                   help="acceleration hierarchy for large scenes "
+                        "(bit-identical either way): auto = the in-kernel "
+                        "candidate walker (chip-measured best, "
+                        "BENCHLOG_r5); sparse = the grid-pipelined "
+                        "cluster kernels (r2-r4 production path); none = "
+                        "dense sweeps")
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")

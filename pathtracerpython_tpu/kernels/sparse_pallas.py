@@ -130,19 +130,25 @@ SPARSE_MIN_TRIS = 4096
 
 
 # What accel="auto" selects for large scenes (>= SPARSE_MIN_TRIS padded
-# triangles). The round-2/3 queue crowned the cluster-sparse sweeps; the
-# measured-negative alternatives (ranked traversal: 0.92M rays/s and
-# excised in r3, git history @ df91c32^; walker: kernels/walker_pallas)
-# are documented in docs/PERFORMANCE.md.
-AUTO_LARGE = "sparse"
+# triangles). Rounds 2/3 crowned the cluster-sparse grid sweeps over the
+# then-negative walker; round 5 re-priced the walker under the
+# sorted+parked NEE regime and its c128 shape now BEATS the grid
+# kernels end-to-end on the 100k config (744.5/763.1 vs 789.0/792.7 ms
+# across two runs each — BENCHLOG_r5 r5_walker_c128,
+# r5_walker_c128_sparse_mix, r5_base; docs/PERFORMANCE.md round-5
+# section). The grid kernels stay first-class via accel="sparse" (and
+# remain the only hierarchy with the occluder-cache and two-pass
+# protocols, both measured-off anyway).
+AUTO_LARGE = "walker"
 
 
 def resolve_accel(accel: str, n_padded_tris: int) -> str:
     """Resolve the config's accel choice to a concrete hierarchy:
-    "none", "sparse", or "walker" (explicit opt-in only — never chosen
-    by "auto"; see kernels/walker_pallas.py for its measured price).
-    Shared by the geometry entry points and the fused-kernel/sort gates
-    so every dispatch site agrees on what "auto" means."""
+    "none", "sparse", or "walker" (the AUTO_LARGE choice for large
+    scenes since round 5 — see kernels/walker_pallas.py for the
+    measurements). Shared by the geometry entry points and the
+    fused-kernel/sort gates so every dispatch site agrees on what
+    "auto" means."""
     if accel == "auto":
         return (
             AUTO_LARGE if n_padded_tris >= SPARSE_MIN_TRIS else "none"

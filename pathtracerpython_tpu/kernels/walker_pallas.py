@@ -74,14 +74,19 @@ from pathtracerpython_tpu.kernels.sparse_pallas import (
     cluster_aabbs,
 )
 
-# Measured-best walker shape on the v5e 100k box field (BENCHLOG_r3
-# r3_walker_kernel_ab: c256/r512 = 318 ms per 524k-ray nearest sweep vs
-# the sparse kernel's 275 ms; the small shapes are far worse — c64/r256
-# measured 6,198 ms, the in-kernel DMA loop pays ~5-20 µs per candidate
-# visit). Still a documented NEGATIVE vs sparse at every shape; these
-# defaults record the best point of the experiment, not a production
-# recommendation.
-C_TRI = 256
+# Measured-best walker shape. Round 3 (unsorted wavefronts) crowned
+# c256/r512 — 318 ms per 524k-ray nearest sweep vs the sparse kernel's
+# 275 ms, a documented negative (BENCHLOG_r3 r3_walker_kernel_ab).
+# Round 5 re-priced the walker under the sorted+parked NEE regime
+# (candidate unions 5-6x shorter) and the landscape flipped: c128 is
+# the new optimum and BEATS the sparse grid kernels end-to-end on the
+# 100k config — 744.5/763.1 ms across two runs vs sparse 789.0/792.7
+# (BENCHLOG_r5 r5_walker_c128, r5_walker_c128_sparse_mix, r5_base).
+# Neighborhood: c256 811.8, c512 975.4, c64 3175 (overflow-storm
+# family), nbuf8 759.8, w640 757.3 — c128/r512/nbuf4/w384 is the
+# measured optimum and the accel="auto" production default
+# (sparse_pallas.AUTO_LARGE).
+C_TRI = 128
 R_BLK = 512
 N_BUF = 4          # DMA ring depth (hides tile-fetch latency)
 CHUNK_RB = 128     # ray blocks per launch

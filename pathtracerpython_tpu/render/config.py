@@ -29,13 +29,15 @@ class RenderConfig:
     # traversals were excised in round 3 — measured 0.92M vs 5.67M
     # rays/s on the 100k config, docs/PERFORMANCE.md; git history
     # preserves them.)
-    # "walker" (explicit opt-in, never chosen by auto) swaps the sparse
-    # grid kernels for the in-kernel candidate walker
-    # (kernels/walker_pallas.py): one grid step per ray block, a dynamic
-    # while_loop over its candidates with ring-buffered manual DMA.
-    # Measured price on the v5e 100k box field: ~15% slower than sparse
-    # at its best shape pre-sorting (BENCHLOG_r3 r3_walker_kernel_ab);
-    # see BENCHLOG_r5 for the sorted-regime re-price.
+    # "auto" resolves to the in-kernel candidate WALKER for large scenes
+    # since round 5 (kernels/walker_pallas.py: one grid step per ray
+    # block, a dynamic while_loop over its candidates with ring-buffered
+    # manual DMA) — its c128 shape beats the sparse grid kernels on the
+    # 100k config under the sorted+parked NEE regime (744.5/763.1 vs
+    # 789.0/792.7 ms, BENCHLOG_r5). "sparse" keeps the grid kernels
+    # (the r2-r4 production path, and the only hierarchy with the
+    # occluder-cache / two-pass protocols — both measured-off anyway);
+    # "walker"/"none" force their paths explicitly.
     accel: str = "auto"
     # (The round-2 whole-bounce fused megakernel — one launch per bounce —
     # was excised in round 3: a measured WASH at its supported shapes

@@ -332,7 +332,7 @@ def main() -> None:
                 "walker_r_blk": _wk().R_BLK,
                 "walker_n_buf": _wk().N_BUF,
                 "walker_w_per_rb": _wk().W_PER_RB,
-            } if accel == "walker" else {}),
+            } if accel in ("walker", "auto") else {}),
         }), flush=True)
 
 

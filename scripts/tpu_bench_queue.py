@@ -132,6 +132,22 @@ R5_STEPS = [
     ("r5_refine96",
      [sys.executable, BL, "--configs", "sparse:on", "--refine-k", "96"],
      2400),
+    # walker c128 beat sparse (744 vs 789 ms) — probe its neighborhood
+    ("r5_walker_c128_nbuf8",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-c-tri", "128", "--walker-nbuf", "8"], 2400),
+    ("r5_walker_c64",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-c-tri", "64"], 2400),
+    ("r5_walker_c128_w640",
+     [sys.executable, BL, "--configs", "walker:on",
+      "--walker-c-tri", "128", "--walker-w-per-rb", "640"], 2400),
+    ("r5_walker_c128_sparse_mix",
+     # sanity row: sparse NEAREST is not obviously worse — this prices
+     # the walker on BOTH sweeps vs the best-known sparse both-sweeps;
+     # a hybrid dispatch only pays if these bracket a gap
+     [sys.executable, BL, "--configs", "sparse:on,walker:on",
+      "--walker-c-tri", "128"], 3000),
 ]
 
 STEPS = R5_STEPS

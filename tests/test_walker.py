@@ -116,3 +116,22 @@ def test_walker_render_parity_through_public_api(field_scene):
         )
         r = np.asarray(render(field_scene, cfg, seed=5))
         np.testing.assert_allclose(r, r0, atol=1e-6)
+
+
+def test_auto_resolves_to_walker_for_large_scenes():
+    """Round-5 default flip: accel="auto" selects the walker at and
+    above SPARSE_MIN_TRIS padded triangles (BENCHLOG_r5 r5_walker_c128:
+    744.5 ms vs sparse 789.0 on the 100k config), dense below."""
+    from pathtracerpython_tpu.kernels.sparse_pallas import (
+        SPARSE_MIN_TRIS,
+        resolve_accel,
+        use_sparse,
+    )
+
+    assert resolve_accel("auto", SPARSE_MIN_TRIS) == "walker"
+    assert resolve_accel("auto", SPARSE_MIN_TRIS - 1) == "none"
+    assert resolve_accel("sparse", 32) == "sparse"
+    # the coherence machinery (sorting, parking) engages for both
+    assert use_sparse("auto", SPARSE_MIN_TRIS)
+    assert use_sparse("walker", SPARSE_MIN_TRIS)
+    assert not use_sparse("auto", 32)
