@@ -30,7 +30,7 @@ import pytest
 pytestmark = pytest.mark.heavy
 
 # Toolchains on which the miscompile is MEASURED present (jax version;
-# libtpu reported "unknown" through the axon tunnel plugin).
+# chip run 2026-08-20 reported libtpu 0.0.34).
 KNOWN_BAD_JAX = {"0.9.0"}
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -59,12 +59,17 @@ def test_soft_scan_miscompile_still_present_on_chip():
     if summary["backend"] != "tpu":
         pytest.skip(f"no TPU reachable (backend={summary['backend']})")
 
-    direct_ok = summary["direct"]["max_abs_diff"] < 1e-2
+    # the discriminator is the FRACTION of diverging pixels: the known
+    # miscompile hits ~40% of them at up to 0.98; normal jit-vs-eager
+    # fma/fusion reordering in the soft estimator moves a handful of
+    # boundary pixels by up to a few e-2 (measured 0.125% of pixels on
+    # the v5e) — far below the 5% gate either way
+    direct_ok = summary["direct"]["frac_bad_pixels"] < 0.05
     assert direct_ok, (
-        "the UNWRAPPED soft body now diverges too — this is a new, "
-        f"different miscompile: {summary}"
+        "the UNWRAPPED soft body now diverges broadly too — this is a "
+        f"new, different miscompile: {summary}"
     )
-    bug = summary["scan_wrapped"]["max_abs_diff"] > 1e-2
+    bug = summary["scan_wrapped"]["frac_bad_pixels"] > 0.05
     ver = summary["jax"]
 
     if bug and ver in KNOWN_BAD_JAX:
