@@ -35,17 +35,18 @@ import pytest  # noqa: E402
 # largest compiles in the suite. After ~160 accumulated test compiles in
 # one process, XLA's CPU backend has died inside backend_compile_and_load
 # (SIGSEGV/SIGABRT at the same test, which passes standalone) — the
-# trigger is cumulative compiler/JIT state, not the test itself. Dropping
-# every cached executable before each heavy module keeps the per-process
-# high-water mark bounded.
-_HEAVY_MODULES = ("test_sparse", "test_walker", "test_soft_sparse",
-                  "test_pallas", "test_large_scene")
+# trigger is cumulative compiler/JIT state, not the test itself.
+# Round 5: the non-heavy lane grew enough that the same crash struck a
+# `-m "not heavy"` run ~16 min in, so the bound is now per-MODULE
+# everywhere (round 4 only cleared before the heavy modules). Costs a
+# few recompiles of shared Cornell renders per module; keeps the
+# per-process compiler high-water mark bounded by the largest single
+# module.
 
 
 @pytest.fixture(autouse=True, scope="module")
 def _bounded_compiler_state(request):
-    if request.module.__name__.rpartition(".")[2] in _HEAVY_MODULES:
-        jax.clear_caches()
+    jax.clear_caches()
     yield
 
 

@@ -3,6 +3,10 @@
 import json
 import os
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_fit_albedo_reduces_loss(tmp_path):
     from pathtracerpython_tpu.apps.fit_albedo import run

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pathtracerpython_tpu.render.config import RenderConfig
 from pathtracerpython_tpu.render.integrator import render, render_rays
 from pathtracerpython_tpu.scene.arrays import pack_scene, recompute_derived

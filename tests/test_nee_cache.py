@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pathtracerpython_tpu.kernels import sparse_pallas as sp
 from pathtracerpython_tpu.ops.geometry import normalize3
 from pathtracerpython_tpu.render.config import RenderConfig

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pathtracerpython_tpu.render import integrator as integ
 from pathtracerpython_tpu.render.config import RenderConfig
 from pathtracerpython_tpu.render.integrator import render

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from pathtracerpython_tpu.parallel import make_mesh, render_sharded
 from pathtracerpython_tpu.render.config import RenderConfig
 from pathtracerpython_tpu.render.integrator import render
