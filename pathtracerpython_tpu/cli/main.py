@@ -223,19 +223,6 @@ def main(argv=None) -> int:
 
     from pathtracerpython_tpu.utils import MetricsLogger
 
-    def render_once(seed: int):
-        if args.dp > 0 or args.geom > 1:
-            from pathtracerpython_tpu.parallel import make_mesh, render_sharded
-
-            mesh = make_mesh(
-                dp=args.dp if args.dp > 0 else None, geom=args.geom
-            )
-            return render_sharded(
-                scene, cfg, mesh, seed=seed,
-                geom_axis="geom" if args.geom > 1 else None,
-            )
-        return render(scene, cfg, seed=seed)
-
     chunk_spp = args.chunk_spp
     if chunk_spp < 0:  # auto: chunk large sample counts for visibility
         chunk_spp = 16 if cfg.n_samples >= 64 else 0
@@ -246,7 +233,7 @@ def main(argv=None) -> int:
         * cfg.n_bounces * (1 + cfg.n_light_samples)
     )
 
-    def render_chunked(seed: int):
+    def render_chunked(seed: int, checkpoint=True, progress=True):
         from pathtracerpython_tpu.utils.checkpoint import render_progressive
 
         def prog(done, total, spp_done, dt):
@@ -256,9 +243,10 @@ def main(argv=None) -> int:
 
         return render_progressive(
             scene, cfg, cfg.n_samples, chunk_spp,
-            checkpoint_dir=args.ckpt_dir, seed=seed,
+            checkpoint_dir=args.ckpt_dir if checkpoint else None,
+            seed=seed,
             renderer=lambda sc, c, seed: render_once_cfg(c, seed),
-            log=log, progress=prog,
+            log=log, progress=prog if progress else None,
         )
 
     def render_once_cfg(cfg_chunk, seed: int):
@@ -274,13 +262,15 @@ def main(argv=None) -> int:
             )
         return render(scene, cfg_chunk, seed=seed)
 
+    def render_full(seed: int):
+        # chunked and unchunked share ONE dispatch (render_once_cfg)
+        return (render_chunked(seed) if chunk_spp > 0
+                else render_once_cfg(cfg, seed))
+
     metrics = MetricsLogger()
     t0 = time.perf_counter()
     with metrics.timed("render") as box:
-        if chunk_spp > 0:
-            radiance = render_chunked(args.seed)
-        else:
-            radiance = render_once(args.seed)
+        radiance = render_full(args.seed)
         box["out"] = radiance
     log(f"rendered in {time.perf_counter() - t0:.2f}s")
     # upper bound: counts every wavefront lane-bounce (dead lanes are
@@ -296,9 +286,16 @@ def main(argv=None) -> int:
         # the first render pays jit compilation; a second render with a
         # different seed (identical executions can be served from cache)
         # measures steady-state throughput, which is the number comparable
-        # to bench.py
+        # to bench.py. It uses the SAME execution plan as the real render
+        # (chunked stays chunked — a single long execution would both
+        # measure a different program and risk the axon worker's
+        # single-execution deadline) minus checkpointing/progress noise.
         with metrics.timed("render_steady") as box:
-            box["out"] = render_once(args.seed + 1)
+            box["out"] = (
+                render_chunked(args.seed + 1, checkpoint=False,
+                               progress=False)
+                if chunk_spp > 0 else render_once_cfg(cfg, args.seed + 1)
+            )
         print(_json.dumps({
             **metrics.summary(),
             "rays_attempted_per_s_incl_compile": metrics.rate(

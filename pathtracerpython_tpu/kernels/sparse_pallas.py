@@ -744,10 +744,14 @@ GROUP = 2  # default work-item group size (>1 = grouped path). Chip
 # every lane in-kernel — the MT tile was never going to run; only its
 # prologue cost is removed. The filter uses a 10x-wider epsilon than
 # the kernel so XLA-vs-Mosaic ulp differences cannot drop a
-# kernel-visible member. 0 = off.
+# kernel-visible member. 0 = off. NOTE the filter materializes
+# [nrb, K, r_blk] f32 intermediates in one shot (nrb is already bounded
+# by the caller's launch chunking at CHUNK_RB blocks — ~50 MB at the
+# production 256-block/K=96 shape); measured NEGATIVE end-to-end on the
+# 100k config (889 vs 789 ms, BENCHLOG_r5 r5_refine32/96 +
+# r5_refine_stats: sorted unions are ~80% real lane hits, so the filter
+# can only drop 11-23% of visits and its XLA pass costs more).
 REFINE_K = 0
-REFINE_CHUNK_RB = 256  # blocks per lax.map chunk in the refine pass
-#                        (bounds the [chunk, K, r_blk] intermediates)
 
 _VAL_BIT = _CL_BITS  # grouped follower words: [valid 1][cl 12]
 

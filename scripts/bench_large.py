@@ -147,8 +147,9 @@ def main() -> None:
     )
     p.add_argument(
         "--walker-c-tri", type=int, default=None,
-        help="walker tile granularity (walker_pallas.C_TRI; default 256 "
-        "= the r3 measured-best shape)",
+        help="walker tile granularity (walker_pallas.C_TRI; default 128 "
+        "= the r5 measured-best shape under the sorted NEE regime — "
+        "r3's pre-sorting optimum was 256)",
     )
     p.add_argument(
         "--walker-nbuf", type=int, default=None,
