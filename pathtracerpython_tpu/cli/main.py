@@ -72,14 +72,14 @@ def setup(argv=None) -> argparse.Namespace:
                         "leaves (fewer candidate clusters on bounce "
                         "wavefronts)")
     p.add_argument("--accel",
-                   choices=("auto", "sparse", "walker", "none"),
+                   choices=("auto", "sparse", "walker", "hybrid", "none"),
                    default="auto",
                    help="acceleration hierarchy for large scenes "
-                        "(bit-identical either way): auto = the in-kernel "
-                        "candidate walker (chip-measured best, "
-                        "BENCHLOG_r5); sparse = the grid-pipelined "
-                        "cluster kernels (r2-r4 production path); none = "
-                        "dense sweeps")
+                        "(bit-identical either way): auto = hybrid = "
+                        "grid-kernel nearest + in-kernel-walker NEE "
+                        "any-hit (chip-measured best, BENCHLOG_r5); "
+                        "sparse / walker force one hierarchy for both "
+                        "sweeps; none = dense sweeps")
     p.add_argument("--sort-rays", choices=("auto", "on", "off"),
                    default="auto",
                    help="per-bounce wavefront ray sorting (bit-identical)")

@@ -132,14 +132,17 @@ SPARSE_MIN_TRIS = 4096
 # What accel="auto" selects for large scenes (>= SPARSE_MIN_TRIS padded
 # triangles). Rounds 2/3 crowned the cluster-sparse grid sweeps over the
 # then-negative walker; round 5 re-priced the walker under the
-# sorted+parked NEE regime and its c128 shape now BEATS the grid
-# kernels end-to-end on the 100k config (744.5/763.1 vs 789.0/792.7 ms
-# across two runs each — BENCHLOG_r5 r5_walker_c128,
-# r5_walker_c128_sparse_mix, r5_base; docs/PERFORMANCE.md round-5
-# section). The grid kernels stay first-class via accel="sparse" (and
-# remain the only hierarchy with the occluder-cache and two-pass
-# protocols, both measured-off anyway).
-AUTO_LARGE = "walker"
+# sorted+parked NEE regime (its c128 shape beat the grid kernels
+# end-to-end: 744.5/763.1 vs 789.0/792.7 ms), and the phase split
+# behind that win (r5_phase_by_accel: walker wins the NEE any-hit 399
+# vs 449 ms, the grid kernels win the nearest phase 377 vs 393) led to
+# the production HYBRID: grid-kernel NEAREST + walker NEE any-hit —
+# 719.7/729.3 ms = 8.74/8.63 Mrays/s on the 100k config (BENCHLOG_r5
+# r5_hybrid; docs/PERFORMANCE.md round-5 section). "sparse"/"walker"
+# force a single hierarchy for both sweeps; sparse remains the only one
+# with the occluder-cache and two-pass protocols (both measured-off
+# anyway).
+AUTO_LARGE = "hybrid"
 
 
 def resolve_accel(accel: str, n_padded_tris: int) -> str:
@@ -157,11 +160,14 @@ def resolve_accel(accel: str, n_padded_tris: int) -> str:
 
 
 def use_sparse(accel: str, n_padded_tris: int) -> bool:
-    """True when the sweeps run a cluster hierarchy (sparse grid kernels
-    or the in-kernel walker) — the gate for the coherence machinery
-    (wavefront sorting, NEE shadow-lane sorting, relevance parking),
-    which serves both hierarchies identically."""
-    return resolve_accel(accel, n_padded_tris) in ("sparse", "walker")
+    """True when the sweeps run a cluster hierarchy (sparse grid
+    kernels, the in-kernel walker, or the hybrid split) — the gate for
+    the coherence machinery (wavefront sorting, NEE shadow-lane
+    sorting, relevance parking), which serves every hierarchy
+    identically."""
+    return resolve_accel(accel, n_padded_tris) in (
+        "sparse", "walker", "hybrid"
+    )
 
 
 # Sub-tile gating: within a visited cluster, Möller–Trumbore can run per

@@ -348,7 +348,10 @@ def nearest_hit_cm(
 
         d3u = normalize3(d3)
         resolved = resolve_accel(accel, scene.num_padded_triangles)
-        if resolved == "sparse":
+        # "hybrid" splits by sweep kind: grid kernels for the NEAREST
+        # sweep, walker for the NEE any-hit — each on its chip-measured
+        # better phase (BENCHLOG_r5 r5_phase_by_accel)
+        if resolved in ("sparse", "hybrid"):
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
         elif resolved == "walker":
             from pathtracerpython_tpu.kernels.walker_pallas import (
@@ -418,10 +421,13 @@ def any_hit_within_cm(
                 o3, d3_unit, max_dist, scene, w_per_rb=w_per_rb,
                 chunk_rb=chunk_rb,
             )
-        if resolved == "walker":
+        if resolved in ("walker", "hybrid"):
             # the walker budgets its flat SMEM candidate list itself
             # (W_PER_RB means candidate SLOTS there, not work items) —
-            # the sparse-tuned caller overrides do not transfer
+            # the sparse-tuned caller overrides do not transfer.
+            # "hybrid" routes the any-hit here and the nearest sweep to
+            # the grid kernels (each sweep on its measured-better
+            # hierarchy, BENCHLOG_r5 r5_phase_by_accel)
             from pathtracerpython_tpu.kernels.walker_pallas import (
                 walker_any_hit_cm,
             )

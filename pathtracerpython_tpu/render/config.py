@@ -29,15 +29,17 @@ class RenderConfig:
     # traversals were excised in round 3 — measured 0.92M vs 5.67M
     # rays/s on the 100k config, docs/PERFORMANCE.md; git history
     # preserves them.)
-    # "auto" resolves to the in-kernel candidate WALKER for large scenes
-    # since round 5 (kernels/walker_pallas.py: one grid step per ray
-    # block, a dynamic while_loop over its candidates with ring-buffered
-    # manual DMA) — its c128 shape beats the sparse grid kernels on the
-    # 100k config under the sorted+parked NEE regime (744.5/763.1 vs
-    # 789.0/792.7 ms, BENCHLOG_r5). "sparse" keeps the grid kernels
-    # (the r2-r4 production path, and the only hierarchy with the
-    # occluder-cache / two-pass protocols — both measured-off anyway);
-    # "walker"/"none" force their paths explicitly.
+    # "auto" resolves to the HYBRID for large scenes since round 5:
+    # grid-kernel NEAREST sweep + in-kernel-walker NEE any-hit
+    # (kernels/walker_pallas.py) — each sweep on its chip-measured
+    # better hierarchy. Phase split (BENCHLOG_r5 r5_phase_by_accel):
+    # the walker wins the NEE any-hit (399 vs 449 ms of the 100k
+    # render), the grid kernels win the nearest phase (377 vs 393);
+    # hybrid lands at 719.7/729.3 ms vs walker-both 744-763 and
+    # sparse-both 789-793. "sparse"/"walker" force one hierarchy for
+    # both sweeps ("sparse" is the only one with the occluder-cache /
+    # two-pass protocols — both measured-off anyway); "none" forces the
+    # dense sweeps.
     accel: str = "auto"
     # (The round-2 whole-bounce fused megakernel — one launch per bounce —
     # was excised in round 3: a measured WASH at its supported shapes
@@ -115,8 +117,9 @@ class RenderConfig:
 
     def __post_init__(self):
         assert self.mode in ("fast", "reference"), self.mode
-        assert self.accel in ("auto", "sparse", "walker", "none"), \
-            self.accel
+        assert self.accel in (
+            "auto", "sparse", "walker", "hybrid", "none"
+        ), self.accel
         assert self.sort_rays in ("auto", "on", "off"), self.sort_rays
         assert self.nee_cache in ("auto", "on", "off"), self.nee_cache
         assert self.nee_hint in ("auto", "on", "off"), self.nee_hint

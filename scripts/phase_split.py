@@ -66,6 +66,8 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--sort-nee", default="auto")
     p.add_argument("--nee-cache", default="auto")
+    p.add_argument("--accel", default="sparse",
+                   choices=("sparse", "walker", "none"))
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -85,7 +87,7 @@ def main() -> None:
     cfg = RenderConfig(
         mode="fast", n_samples=args.spp, n_bounces=args.bounces,
         backend="pallas" if on_tpu else "xla",
-        accel="sparse", sort_rays="on", batch_samples=True,
+        accel=args.accel, sort_rays="on", batch_samples=True,
         sort_nee=args.sort_nee, nee_cache=args.nee_cache,
     )
     print(f"platform: {jax.default_backend()}", file=sys.stderr)

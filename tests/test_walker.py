@@ -106,32 +106,37 @@ def test_walker_render_parity_through_public_api(field_scene):
         accel="none",
     )
     r0 = np.asarray(render(field_scene, base, seed=5))
-    for extra in (
-        {},                                       # sorted+parked (auto)
-        {"sort_nee": "off", "sort_rays": "off"},  # unsorted walker
+    for accel, extra in (
+        ("walker", {}),                           # sorted+parked (auto)
+        ("walker", {"sort_nee": "off", "sort_rays": "off"}),  # unsorted
+        ("hybrid", {}),                           # grid nearest + walker NEE
     ):
         cfg = RenderConfig(
             mode="fast", n_samples=1, n_bounces=2, backend="pallas",
-            accel="walker", **extra,
+            accel=accel, **extra,
         )
         r = np.asarray(render(field_scene, cfg, seed=5))
         np.testing.assert_allclose(r, r0, atol=1e-6)
 
 
-def test_auto_resolves_to_walker_for_large_scenes():
-    """Round-5 default flip: accel="auto" selects the walker at and
-    above SPARSE_MIN_TRIS padded triangles (BENCHLOG_r5 r5_walker_c128:
-    744.5 ms vs sparse 789.0 on the 100k config), dense below."""
+def test_auto_resolves_to_hybrid_for_large_scenes():
+    """Round-5 default flip: accel="auto" selects the HYBRID (grid
+    nearest + walker NEE any-hit) at and above SPARSE_MIN_TRIS padded
+    triangles — each sweep on its chip-measured better hierarchy
+    (BENCHLOG_r5 r5_hybrid: 719.7 ms vs walker-both 744.5 vs
+    sparse-both 789.0 on the 100k config) — and dense below."""
     from pathtracerpython_tpu.kernels.sparse_pallas import (
         SPARSE_MIN_TRIS,
         resolve_accel,
         use_sparse,
     )
 
-    assert resolve_accel("auto", SPARSE_MIN_TRIS) == "walker"
+    assert resolve_accel("auto", SPARSE_MIN_TRIS) == "hybrid"
     assert resolve_accel("auto", SPARSE_MIN_TRIS - 1) == "none"
     assert resolve_accel("sparse", 32) == "sparse"
-    # the coherence machinery (sorting, parking) engages for both
+    assert resolve_accel("walker", 32) == "walker"
+    # the coherence machinery (sorting, parking) engages for all three
     assert use_sparse("auto", SPARSE_MIN_TRIS)
     assert use_sparse("walker", SPARSE_MIN_TRIS)
+    assert use_sparse("hybrid", SPARSE_MIN_TRIS)
     assert not use_sparse("auto", 32)
