@@ -78,16 +78,20 @@ from pathtracerpython_tpu.kernels.sparse_pallas import (
 # c256/r512 — 318 ms per 524k-ray nearest sweep vs the sparse kernel's
 # 275 ms, a documented negative (BENCHLOG_r3 r3_walker_kernel_ab).
 # Round 5 re-priced the walker under the sorted+parked NEE regime
-# (candidate unions 5-6x shorter) and the landscape flipped: c128 is
-# the new optimum and BEATS the sparse grid kernels end-to-end on the
-# 100k config — 744.5/763.1 ms across two runs vs sparse 789.0/792.7
-# (BENCHLOG_r5 r5_walker_c128, r5_walker_c128_sparse_mix, r5_base).
-# Neighborhood: c256 811.8, c512 975.4, c64 3175 (overflow-storm
-# family), nbuf8 759.8, w640 757.3 — c128/r512/nbuf4/w384 is the
-# measured optimum and the accel="auto" production default
-# (sparse_pallas.AUTO_LARGE).
+# (candidate unions 5-6x shorter) and the landscape flipped twice:
+# c128 beat the grid kernels end-to-end (744.5/763.1 ms vs sparse
+# 789.0/792.7 — BENCHLOG_r5 r5_walker_c128), and BIG ray blocks then
+# paid again (r5_walker_rblk: per-block walks amortize while sorted
+# unions grow sublinearly with block width) — r1280 lands the hybrid
+# at 677-687 ms (plateau r1280-r1536; r512 ~714-719, r256 797.6,
+# r2048 691.9) and walker-both-sweeps at 701.5. Other neighbors: c256
+# 811.8, c512 975.4, c64 3175 (overflow-storm family), nbuf 2/8 and
+# w 256/512/640 all washes. c128/r1280/nbuf4/w384 is the measured
+# optimum; the hybrid (grid nearest + walker NEE any-hit,
+# sparse_pallas.AUTO_LARGE="hybrid") is the accel="auto" production
+# default.
 C_TRI = 128
-R_BLK = 512
+R_BLK = 1280
 N_BUF = 4          # DMA ring depth (hides tile-fetch latency)
 CHUNK_RB = 128     # ray blocks per launch
 W_PER_RB = 384     # average candidate slots per block in a launch

@@ -156,6 +156,11 @@ def main() -> None:
         help="walker DMA ring depth (walker_pallas.N_BUF)",
     )
     p.add_argument(
+        "--walker-r-blk", type=int, default=None,
+        help="walker rays per block (walker_pallas.R_BLK): bigger blocks "
+        "= fewer per-block walks with wider unions",
+    )
+    p.add_argument(
         "--walker-w-per-rb", type=int, default=None,
         help="walker flat-list candidate slots per ray block "
         "(walker_pallas.W_PER_RB)",
@@ -200,13 +205,16 @@ def main() -> None:
             int(x) for x in args.grid_divs.split(",") if x
         )
     if (args.walker_c_tri is not None or args.walker_nbuf is not None
-            or args.walker_w_per_rb is not None):
+            or args.walker_w_per_rb is not None
+            or args.walker_r_blk is not None):
         from pathtracerpython_tpu.kernels import walker_pallas as wk
 
         if args.walker_c_tri is not None:
             wk.C_TRI = args.walker_c_tri
         if args.walker_nbuf is not None:
             wk.N_BUF = args.walker_nbuf
+        if args.walker_r_blk is not None:
+            wk.R_BLK = args.walker_r_blk
         if args.walker_w_per_rb is not None:
             wk.W_PER_RB = args.walker_w_per_rb
     if args.group is not None:
