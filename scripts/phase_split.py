@@ -67,7 +67,7 @@ def main() -> None:
     p.add_argument("--sort-nee", default="auto")
     p.add_argument("--nee-cache", default="auto")
     p.add_argument("--accel", default="sparse",
-                   choices=("sparse", "walker", "none"))
+                   choices=("sparse", "walker", "hybrid", "none"))
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
