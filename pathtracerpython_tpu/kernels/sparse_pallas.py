@@ -116,6 +116,15 @@ CHUNK_RB_SORTED = 256  # more blocks per launch for the same call site
 # (one chunk falls back to the XLA sweep, the rest stay sparse).
 CHUNK_RB = 128
 W_SMEM_ENTRIES = CHUNK_RB * W_PER_RB  # 65536 words = 256 KB
+# The HYBRID's nearest sweep (grid kernels, NEE on the walker) runs
+# wider ray blocks than the r512 both-sweeps tuning: the walker's
+# big-block win (r5_walker_rblk) re-priced block width for the nearest
+# grid sweep too — r1024/w1024 measures 668.0/671.2 ms on the 100k
+# config vs 682 at r512 (r2048 703, r1536 691, r1280 696; BENCHLOG_r5
+# r5_sparse_nearest_rblk). Scoped to the hybrid dispatch so the tuned
+# r512 accel="sparse" both-sweeps path is untouched.
+R_BLK_HYBRID_NEAREST = 1024
+W_PER_RB_HYBRID_NEAREST = 1024
 SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
 
 # packed work-item layout: [seg 1][active 1][rb 14][cl 12]

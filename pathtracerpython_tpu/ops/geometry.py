@@ -350,8 +350,17 @@ def nearest_hit_cm(
         resolved = resolve_accel(accel, scene.num_padded_triangles)
         # "hybrid" splits by sweep kind: grid kernels for the NEAREST
         # sweep, walker for the NEE any-hit — each on its chip-measured
-        # better phase (BENCHLOG_r5 r5_phase_by_accel)
-        if resolved in ("sparse", "hybrid"):
+        # better phase (BENCHLOG_r5 r5_phase_by_accel), the nearest at
+        # its own wider hybrid-scoped block shape
+        if resolved == "hybrid":
+            from pathtracerpython_tpu.kernels import sparse_pallas as _sp
+
+            t, idx = sparse_nearest_t_idx_cm(
+                o3, d3u, scene,
+                r_blk=_sp.R_BLK_HYBRID_NEAREST,
+                w_per_rb=_sp.W_PER_RB_HYBRID_NEAREST,
+            )
+        elif resolved == "sparse":
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)
         elif resolved == "walker":
             from pathtracerpython_tpu.kernels.walker_pallas import (
