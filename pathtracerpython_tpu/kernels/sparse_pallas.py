@@ -125,6 +125,12 @@ W_SMEM_ENTRIES = CHUNK_RB * W_PER_RB  # 65536 words = 256 KB
 # r512 accel="sparse" both-sweeps path is untouched.
 R_BLK_HYBRID_NEAREST = 1024
 W_PER_RB_HYBRID_NEAREST = 1024
+CHUNK_RB_HYBRID_NEAREST = 64  # fewer blocks per launch at the wide
+#   shape: the pooled SMEM work-list cap binds at 64 blocks already, so
+#   halving the chunk gives each block more effective slots without
+#   changing the cap; measured 658.7/659.4/666.7 ms vs 668.0-671.2 at
+#   chunk 128 (walker chunk 64 is a wash, 32 worse — r5 launch-chunk
+#   rows in BENCHLOG_r5 r5_sparse_nearest_rblk addendum)
 SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
 
 # packed work-item layout: [seg 1][active 1][rb 14][cl 12]

@@ -359,6 +359,7 @@ def nearest_hit_cm(
                 o3, d3u, scene,
                 r_blk=_sp.R_BLK_HYBRID_NEAREST,
                 w_per_rb=_sp.W_PER_RB_HYBRID_NEAREST,
+                chunk_rb=_sp.CHUNK_RB_HYBRID_NEAREST,
             )
         elif resolved == "sparse":
             t, idx = sparse_nearest_t_idx_cm(o3, d3u, scene)

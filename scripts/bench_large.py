@@ -156,6 +156,10 @@ def main() -> None:
         help="walker DMA ring depth (walker_pallas.N_BUF)",
     )
     p.add_argument(
+        "--walker-chunk-rb", type=int, default=None,
+        help="walker ray blocks per launch (walker_pallas.CHUNK_RB)",
+    )
+    p.add_argument(
         "--walker-r-blk", type=int, default=None,
         help="walker rays per block (walker_pallas.R_BLK): bigger blocks "
         "= fewer per-block walks with wider unions",
@@ -206,7 +210,8 @@ def main() -> None:
         )
     if (args.walker_c_tri is not None or args.walker_nbuf is not None
             or args.walker_w_per_rb is not None
-            or args.walker_r_blk is not None):
+            or args.walker_r_blk is not None
+            or args.walker_chunk_rb is not None):
         from pathtracerpython_tpu.kernels import walker_pallas as wk
 
         if args.walker_c_tri is not None:
@@ -215,6 +220,8 @@ def main() -> None:
             wk.N_BUF = args.walker_nbuf
         if args.walker_r_blk is not None:
             wk.R_BLK = args.walker_r_blk
+        if args.walker_chunk_rb is not None:
+            wk.CHUNK_RB = args.walker_chunk_rb
         if args.walker_w_per_rb is not None:
             wk.W_PER_RB = args.walker_w_per_rb
     if args.group is not None:
