@@ -129,8 +129,8 @@ CHUNK_RB_HYBRID_NEAREST = 64  # fewer blocks per launch at the wide
 #   shape: the pooled SMEM work-list cap binds at 64 blocks already, so
 #   halving the chunk gives each block more effective slots without
 #   changing the cap; measured 658.7/659.4/666.7 ms vs 668.0-671.2 at
-#   chunk 128 (walker chunk 64 is a wash, 32 worse — r5 launch-chunk
-#   rows in BENCHLOG_r5 r5_sparse_nearest_rblk addendum)
+#   chunk 128 (walker chunk 64 is a wash, 32 worse — BENCHLOG_r5
+#   r5_launch_chunks)
 SLAB_EPS = 1e-3   # conservative slack on all slab comparisons
 
 # packed work-item layout: [seg 1][active 1][rb 14][cl 12]
@@ -162,11 +162,12 @@ AUTO_LARGE = "hybrid"
 
 def resolve_accel(accel: str, n_padded_tris: int) -> str:
     """Resolve the config's accel choice to a concrete hierarchy:
-    "none", "sparse", or "walker" (the AUTO_LARGE choice for large
-    scenes since round 5 — see kernels/walker_pallas.py for the
-    measurements). Shared by the geometry entry points and the
-    fused-kernel/sort gates so every dispatch site agrees on what
-    "auto" means."""
+    "none", "sparse", "walker", or "hybrid" (grid-kernel nearest +
+    walker NEE any-hit — the AUTO_LARGE choice for large scenes since
+    round 5; see kernels/walker_pallas.py for the measurements).
+    Shared by the geometry entry points and the fused-kernel/sort gates
+    so every dispatch site agrees on what "auto" means; dispatch sites
+    must handle all FOUR values."""
     if accel == "auto":
         return (
             AUTO_LARGE if n_padded_tris >= SPARSE_MIN_TRIS else "none"

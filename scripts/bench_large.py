@@ -348,7 +348,16 @@ def main() -> None:
                 "walker_r_blk": _wk().R_BLK,
                 "walker_n_buf": _wk().N_BUF,
                 "walker_w_per_rb": _wk().W_PER_RB,
-            } if accel in ("walker", "auto") else {}),
+                "walker_chunk_rb": _wk().CHUNK_RB,
+            } if accel in ("walker", "auto", "hybrid") else {}),
+            # the hybrid/auto nearest sweep runs its own scoped shape —
+            # the sp.R_BLK/W_PER_RB fields above describe only the
+            # forced-sparse both-sweeps path
+            **({
+                "nearest_r_blk": sp.R_BLK_HYBRID_NEAREST,
+                "nearest_w_per_rb": sp.W_PER_RB_HYBRID_NEAREST,
+                "nearest_chunk_rb": sp.CHUNK_RB_HYBRID_NEAREST,
+            } if accel in ("auto", "hybrid") else {}),
         }), flush=True)
 
 
