@@ -1862,6 +1862,43 @@ def _pack_for_sparse(scene, c_tri):
     return _pad_dim(tripack, 512, axis=0)
 
 
+def _pad_park(arrays, r_blk: int, mult: int):
+    """Pad the minor (ray) axis to a multiple of ``mult``: repeat-last
+    up to the next ``r_blk`` boundary (keeps the boundary block's
+    frustum tight), then PARKED rays (off-scene origin, away-pointing
+    direction) for the whole blocks beyond — parked blocks' candidate
+    lists are EMPTY, so they cost a skipped grid step (sparse) or an
+    immediate walk exit (walker). Repeating the last real ray across
+    every padded lane instead replicates its entire candidate workload
+    (measured -7%% end-to-end on the 100k config when the launch chunk
+    stopped dividing the wavefront — BENCHLOG_r5 r5_park_padding).
+    ``arrays`` layout: [origins3, dirs3, *extra-rows]; extras pad with
+    zeros (never consulted: parked lanes have no candidates)."""
+    from pathtracerpython_tpu.ops.sort import PARK_DIR, PARK_ORIGIN
+
+    n = arrays[0].shape[-1]
+    total = -(-n // mult) * mult
+    up_rb = min(-(-n // r_blk) * r_blk, total)
+    out = []
+    for i, x in enumerate(arrays):
+        x = _pad_repeat_last(x, r_blk) if up_rb > n else x
+        pad = total - x.shape[-1]
+        if pad:
+            if i == 0:
+                fill = jnp.broadcast_to(
+                    jnp.asarray(PARK_ORIGIN, x.dtype)[:, None], (3, pad)
+                )
+            elif i == 1:
+                fill = jnp.broadcast_to(
+                    jnp.asarray(PARK_DIR, x.dtype)[:, None], (3, pad)
+                )
+            else:
+                fill = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
+            x = jnp.concatenate([x, fill], axis=-1)
+        out.append(x)
+    return out
+
+
 def _map_ray_chunks(fn, arrays, r_blk: int, chunk_rb: int):
     """Pad the minor (ray) axis and run ``fn`` per bounded-size chunk.
 
@@ -1875,7 +1912,7 @@ def _map_ray_chunks(fn, arrays, r_blk: int, chunk_rb: int):
     if n <= chunk:
         padded = [_pad_repeat_last(x, r_blk) for x in arrays]
         return fn(*padded)
-    padded = [_pad_repeat_last(x, chunk) for x in arrays]
+    padded = _pad_park(arrays, r_blk, chunk)
     k = padded[0].shape[-1] // chunk
 
     def split(x):

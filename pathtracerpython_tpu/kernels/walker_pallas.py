@@ -62,6 +62,7 @@ from pathtracerpython_tpu.kernels.intersect_pallas import (
 )
 from pathtracerpython_tpu.kernels.sparse_pallas import (
     IMAX,
+    _pad_park,
     SLAB_EPS,
     _candidate_enter_hit,
     _inv_rows,
@@ -402,43 +403,6 @@ def _pack_walker(scene, c_tri):
     tiles = wide.reshape(c, c_tri, 128)
     tiles = tiles.at[:, 0, _BOX_COL:_BOX_COL + 6].set(aabb8[:, 0:6])
     return tiles.reshape(-1, 128), aabb8
-
-
-def _pad_park(arrays, r_blk: int, mult: int):
-    """Pad the minor (ray) axis to a multiple of ``mult``: repeat-last
-    up to the next ``r_blk`` boundary (keeps the boundary block's
-    frustum tight), then PARKED rays (off-scene origin, away-pointing
-    direction) for the whole blocks beyond — their candidate lists are
-    EMPTY, so the walker's per-block loop exits immediately. Repeating
-    the last real ray across every padded block instead would replicate
-    its entire candidate walk (+25% traced rays on a 2^19 wavefront at
-    the r1280/chunk128 shape, where chunk no longer divides —
-    round-5 review finding). ``arrays`` layout: [origins3, dirs3,
-    *extra-rows] — extras pad with zeros (a parked lane's maxd etc. is
-    never consulted: no candidates, no tests)."""
-    from pathtracerpython_tpu.ops.sort import PARK_DIR, PARK_ORIGIN
-
-    n = arrays[0].shape[-1]
-    total = -(-n // mult) * mult
-    up_rb = min(-(-n // r_blk) * r_blk, total)
-    out = []
-    for i, x in enumerate(arrays):
-        x = _pad_repeat_last(x, r_blk) if up_rb > n else x
-        pad = total - x.shape[-1]
-        if pad:
-            if i == 0:
-                fill = jnp.broadcast_to(
-                    jnp.asarray(PARK_ORIGIN, x.dtype)[:, None], (3, pad)
-                )
-            elif i == 1:
-                fill = jnp.broadcast_to(
-                    jnp.asarray(PARK_DIR, x.dtype)[:, None], (3, pad)
-                )
-            else:
-                fill = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
-            x = jnp.concatenate([x, fill], axis=-1)
-        out.append(x)
-    return out
 
 
 def _map_chunks(fn, arrays, r_blk: int, chunk_rb: int):
